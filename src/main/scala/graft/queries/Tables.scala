@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One query the engine exposes through [[graft.SparkEntry]].
+  *
+  * @param fn      (session, sfDir) => result DataFrame; deterministic.
+  * @param oracle  equivalent DuckDB SQL over the same parquet tables
+  *                (None => driver records a weaker rows-only check).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table loaders + the deterministic synthetic crawl universe.
+  *
+  * The crawl-engine operators (SURVEY.md §2) act on URL/page shapes that
+  * the driver's TPC-H-ish corpus does not carry, so we DERIVE a
+  * deterministic `urls` relation from `documents` with pure arithmetic on
+  * `doc_id` — the exact same formulas are reproduced in each query's
+  * DuckDB oracle SQL, so the oracle sees byte-identical inputs without any
+  * side-channel files. No randomness anywhere.
+  */
+object Tables {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+  def region(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/region.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
+  def part(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+
+  /** Synthetic URL universe derived from `documents`:
+    * url      = https://www.news{doc_id%20}.com/{cat}/story-{10000+doc_id}[.html][?utm_source=feed]
+    * cat      = articles|news|videos|photos|markets by doc_id%5
+    * .html    iff doc_id%3=0 ; ?utm_source=feed iff doc_id%7=0
+    * host     = www.news{doc_id%20}.com ; priority = doc_id%4 ; seq = doc_id
+    */
+  def urls(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val id = col("doc_id")
+    val cat = (id % 5).cast("int")
+    val catName = when(cat === 0, "articles").when(cat === 1, "news")
+      .when(cat === 2, "videos").when(cat === 3, "photos")
+      .otherwise("markets")
+    val ext = when(id % 3 === 0, ".html").otherwise("")
+    val qp = when(id % 7 === 0, "?utm_source=feed").otherwise("")
+    val hostC = concat(lit("www.news"), (id % 20).cast("string"), lit(".com"))
+    d.select(
+      id,
+      concat(lit("https://"), hostC, lit("/"), catName, lit("/story-"),
+        (id + 10000).cast("string"), ext, qp).as("url"),
+      hostC.as("host"),
+      (id % 4).cast("int").as("priority"),
+      id.as("seq"),
+      col("source"))
+  }
+
+  /** The same universe as a DuckDB CTE body (oracle side). */
+  val urlsSql: String =
+    """SELECT doc_id,
+      |  concat('https://www.news', CAST(doc_id % 20 AS VARCHAR), '.com/',
+      |    CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'articles' WHEN 1 THEN 'news'
+      |         WHEN 2 THEN 'videos' WHEN 3 THEN 'photos' ELSE 'markets' END,
+      |    '/story-', CAST(doc_id + 10000 AS VARCHAR),
+      |    CASE WHEN doc_id % 3 = 0 THEN '.html' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END) AS url,
+      |  concat('www.news', CAST(doc_id % 20 AS VARCHAR), '.com') AS host,
+      |  CAST(doc_id % 4 AS INT) AS priority,
+      |  doc_id AS seq,
+      |  source
+      |FROM documents""".stripMargin
+
+  /** Seen-set membership rule shared by J1-family queries:
+    * completed iff doc_id%3=0, failed iff doc_id%7=1.
+    */
+  def seenUrls(s: SparkSession, dir: String): DataFrame = {
+    val u = urls(s, dir)
+    u.filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 1)
+      .select(col("url"),
+        when(col("doc_id") % 3 === 0, "completed").otherwise("failed")
+          .as("status"))
+  }
+
+  val seenSql: String =
+    s"""SELECT url,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'completed' ELSE 'failed' END AS status
+       |FROM urls WHERE doc_id % 3 = 0 OR doc_id % 7 = 1""".stripMargin
+
+  /** Wrap an oracle body with the shared CTEs. */
+  def withUrls(body: String): String =
+    s"WITH urls AS (${urlsSql})\n$body"
+  def withUrlsSeen(body: String): String =
+    s"WITH urls AS (${urlsSql}),\nseen AS (${seenSql})\n$body"
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators a large-scale training-data pipeline needs
+  * (builder brief): token counting, language-ID, quality scoring, exact
+  * dedupe. All pure Catalyst expressions — they run inside the scan stage
+  * with no shuffle except the final aggregates.
+  */
+object TextQueries {
+
+  /** q_token_count — whitespace tokens + BPE-ish regex tokens + chars. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
+        .as("re_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword-hit count used by language-ID and quality scoring.
+    * Counts occurrences of common English function words as standalone
+    * tokens.
+    */
+  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def stopHits(text: Column): Column =
+    enStops.map(w =>
+      size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0)))
+        .cast("bigint"))
+      .reduce(_ + _)
+
+  /** q_lang_id — n-gram/stopword heuristic language scorer: score = en
+    * stopword hits per 100 tokens; predict 'en' iff score ≥ 2.
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val tokens = size(split(t, " ")).cast("bigint")
+    val hits = stopHits(t)
+    documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      hits.as("stop_hits"), tokens.as("n_tokens"),
+      when(hits * 100 >= tokens * 2, "en").otherwise("other")
+        .as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val hits = enStops
+      .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CAST($hits AS BIGINT) AS stop_hits,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CASE WHEN ($hits) * 100 >= len(string_split(text, ' ')) * 2
+       |       THEN 'en' ELSE 'other' END AS predicted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_quality_score — integer-feature document quality gate:
+    * length, token count, mean-token-length (scaled int), stopword hits;
+    * keep = length in [100, 20000] ∧ mean token len in [2,12] ∧ hits>0.
+    */
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("bigint")
+    val nTokens = size(split(t, " ")).cast("bigint")
+    // floor division (values < 2^53 so the double division is exact)
+    val meanTokLenX100 =
+      floor((nChars * 100).cast("double") / nTokens.cast("double"))
+        .cast("bigint")
+    val hits = stopHits(t)
+    documents(s, dir).select(
+      col("doc_id"), nChars.as("n_chars_m"), nTokens.as("n_tokens"),
+      meanTokLenX100.as("mean_tok_len_x100"), hits.as("stop_hits"),
+      (nChars.between(100, 20000) && meanTokLenX100.between(200, 1200) &&
+        hits > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql = {
+    val hits = enStops
+      .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) * 100 // CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_tok_len_x100,
+       |  CAST($hits AS BIGINT) AS stop_hits,
+       |  (length(text) BETWEEN 100 AND 20000
+       |   AND (CAST(length(text) AS BIGINT) * 100 // CAST(len(string_split(text, ' ')) AS BIGINT)) BETWEEN 200 AND 1200
+       |   AND ($hits) > 0) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_dedup_exact — exact dedupe by content hash (hash-groupBy): one
+    * keeper (min doc_id) per md5(text); md5 is identical across engines.
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** q_source_rollup — A1 queue/status rollup shape: per-source doc
+    * counts and char totals.
+    */
+  private def sourceRollup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
+
+  private val sourceRollupSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_source_rollup", sourceRollup, Some(sourceRollupSql))
+  )
+}
