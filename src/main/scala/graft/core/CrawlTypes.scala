@@ -1,0 +1,106 @@
+package graft.core
+
+import java.sql.{Date, Timestamp}
+
+/** Core record types of the crawl engine (SURVEY.md §1).
+  * All are plain case classes so `import spark.implicits._` derives
+  * Catalyst encoders; columnar layout, no Kryo.
+  */
+
+/** A Common-Crawl-style page — the fetch universe (BASELINE.json
+  * input_hint): the reference's network GET becomes an equi-join of the
+  * scheduled frontier against this table (network.py:201-313 →
+  * frontier ⋈ pages on url).
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One frontier (pending) URL — the reference's `pending_urls` SQLite
+  * table (session_hist.py:114-115) plus the scheduling metadata the north
+  * rule demands (host-hash partitioning, priority, deterministic seq).
+  */
+final case class FrontierRow(
+    url: String,
+    source: String,
+    host: String,
+    hostHash: Int,
+    priority: Int,
+    waveDiscovered: Long,
+    seq: Long,
+    attempts: Int)
+
+/** One seen URL — union of the reference's URL_LIST / FAILED_URLS /
+  * HTTP_ERRORS tables (session_hist.py:112-131) with a status
+  * discriminator.
+  */
+final case class SeenRow(
+    url: String,
+    source: String,
+    status: String, // completed | failed | http_error
+    httpCode: Int,
+    pubdate: Date,
+    rawsize: Long,
+    datasize: Long)
+
+/** Extracted article record (news_event.py:58-246 → SURVEY.md §1.1). */
+final case class Article(
+    url: String,
+    uniqueId: String,
+    module: String,
+    pubdate: Date,
+    title: String,
+    text: String,
+    keywords: Seq[String],
+    sourceName: Seq[String],
+    industries: Seq[String],
+    category: String)
+
+/** Per-source crawl configuration — the reference's plugin class
+  * attributes (base_plugin.py:93-194 → SURVEY.md §1.5).
+  */
+final case class SourceSpec(
+    name: String,
+    priority: Int,
+    kind: String, // news_content | data_content | aggregator | processor
+    mainUrl: String,
+    rssFeeds: Seq[String],
+    validSubstrings: Seq[String],
+    invalidSubstrings: Seq[String],
+    nonContentUrls: Seq[String],
+    nonContentStrings: Seq[String],
+    allowedDomains: Seq[String],
+    minArticleLengthInChars: Int)
+
+/** Scheduler knobs (politeness from config.py:467-494 + north-rule
+  * additions). All deterministic: the "random" politeness wait is a
+  * seeded hash of (host, waveId) so budgets reproduce at any parallelism.
+  */
+final case class SchedulerConfig(
+    topKPerHost: Int = 100,
+    waveSeconds: Int = 3600,
+    politenessFixedSecs: Int = 3,
+    politenessRandMinSecs: Int = 2,
+    politenessRandMaxSecs: Int = 5,
+    numPartitions: Int = 32,
+    hotHostThreshold: Long = 100000L,
+    saltBuckets: Int = 16,
+    bloomShards: Int = 32,
+    bloomFpp: Double = 0.01,
+    maxLinksPerPage: Int = 500,
+    maxFrontierDepth: Int = 4)
+
+/** Per-partition counters committed with each snapshot (north rule:
+  * "per-partition fetch counters"; reference analog A5,
+  * base_plugin.py:335-352).
+  */
+final case class WaveCounters(
+    waveId: Long,
+    partitionId: Int,
+    scheduled: Long,
+    deduped: Long,
+    fetched: Long,
+    failed: Long)

@@ -1,0 +1,291 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.commons.text.StringEscapeUtils
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Structural HTML block extraction (SURVEY.md §2.4): the reference's
+  * per-plugin `extractArticleBody` cascades are BeautifulSoup
+  * `find_all(tag, class_=...)` + `getText()` walks
+  * (e.g. /root/reference/src/newslookout/plugins/mod_en_in_ecotimes.py:637-762).
+  *
+  * Rebuilt as a deterministic Catalyst [[Expression]] (null-safe eval,
+  * CodegenFallback) — NOT an opaque UDF: it participates in the plan,
+  * is data-parallel, and needs no Python worker. Correctness target is
+  * byte-identical text on the reference fixture corpus (e.g.
+  * `len(extractArticleBody(html)) == 2914` for ecotimes 73837853,
+  * test_mod_en_in_ecotimes.py:139-144) — verified in HtmlExtractSpec.
+  *
+  * getText semantics replicated: concatenate every text node in the
+  * subtree in document order (script/style text included, comments
+  * excluded), then decode HTML entities.
+  */
+object HtmlExtract {
+
+  private val commentRe = Pattern.compile("<!--.*?-->", Pattern.DOTALL)
+  private val tagRe = Pattern.compile("<[^>]*>")
+
+  /** Strip comments → strip tags → decode entities (BS4 getText over a
+    * raw fragment).
+    */
+  def textOf(fragment: String): String = {
+    val noComments = commentRe.matcher(fragment).replaceAll("")
+    val noTags = tagRe.matcher(noComments).replaceAll("")
+    // HTML4 named + numeric entities; add the HTML5 &apos; that
+    // commons-text's html4 table lacks (Python html.unescape has it).
+    StringEscapeUtils.unescapeHtml4(noTags.replace("&apos;", "'"))
+  }
+
+  /** Parse a tag's class attribute value, if any. */
+  private def classAttr(tagMarkup: String): Option[String] = {
+    val m = Pattern
+      .compile("(?i)\\bclass\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
+      .matcher(tagMarkup)
+    if (m.find()) Option(if (m.group(2) != null) m.group(2) else m.group(3))
+    else None
+  }
+
+  /** BS4 attrs={"class": selector} match: selector without spaces matches
+    * if it is one of the space-separated class tokens; selector with
+    * spaces matches iff it equals the space-joined token list exactly
+    * (so a trailing space never matches — mod_en_in_ecotimes format4's
+    * "artData clr " selector is unreachable, observed fixture behavior).
+    */
+  private def classMatches(attr: String, selector: String): Boolean = {
+    val tokens = attr.trim.split("\\s+").filter(_.nonEmpty)
+    if (selector.contains(" ")) tokens.mkString(" ") == selector
+    else tokens.contains(selector)
+  }
+
+  /** Find the Nth (0-based) `<tag ...>` whose class matches `selector`,
+    * return (startOffset, endOfOpenTag) or None.
+    */
+  private def findOpenTag(html: String, tag: String, selector: String,
+                          index: Int): Option[(Int, Int)] = {
+    val open = Pattern.compile("(?i)<" + tag + "\\b[^>]*>").matcher(html)
+    var seen = 0
+    while (open.find()) {
+      if (classAttr(open.group()).exists(classMatches(_, selector))) {
+        if (seen == index) return Some((open.start(), open.end()))
+        seen += 1
+      }
+    }
+    None
+  }
+
+  /** Balanced subtree of `tag` starting at `start` (offset of the open
+    * tag): counts `<tag` opens vs `</tag>` closes. Returns the inner+outer
+    * fragment WITHOUT the closing tag (the text result is identical).
+    */
+  private def balancedBlock(html: String, tag: String, start: Int): String = {
+    val anyTag = Pattern
+      .compile("(?i)<(/?)" + tag + "\\b[^>]*?>")
+      .matcher(html)
+    anyTag.region(start, html.length)
+    var depth = 0
+    while (anyTag.find()) {
+      if (anyTag.group(1).isEmpty) depth += 1
+      else {
+        depth -= 1
+        if (depth == 0) return html.substring(start, anyTag.start())
+      }
+    }
+    html.substring(start)
+  }
+
+  /** getText of the first `<tag class~=selector>` subtree; "" if absent
+    * (the cascade's coalesce treats "" as no-match, matching the
+    * reference's `len(body_text) < 5` fallthrough).
+    */
+  def blockText(html: String, tag: String, selector: String,
+                index: Int = 0): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    findOpenTag(cleaned, tag, selector, index) match {
+      case Some((s, _)) =>
+        textOf(balancedBlock(cleaned, tag, s))
+      case None => ""
+    }
+  }
+
+  /** getText of only the direct-child `<p>` elements of the matched block
+    * (mod_en_in_timesofindia.py:221-284 / ecotimes format3 shape).
+    * Approximation: every top-level `<p>...</p>` inside the block.
+    */
+  def blockParagraphText(html: String, tag: String, selector: String,
+                         joinWith: String = ""): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    findOpenTag(cleaned, tag, selector, 0) match {
+      case Some((s, _)) =>
+        val block = balancedBlock(cleaned, tag, s)
+        val p = Pattern
+          .compile("(?is)<p\\b[^>]*>(.*?)</p>")
+          .matcher(block)
+        val sb = new StringBuilder
+        var first = true
+        while (p.find()) {
+          if (!first) sb.append(joinWith)
+          sb.append(textOf(p.group(1)))
+          first = false
+        }
+        sb.toString
+      case None => ""
+    }
+  }
+
+  /** getText concatenated over ALL blocks matching (tag, selector)
+    * (ndtv's multi-section concatenation, mod_en_in_ndtv.py:268-282).
+    */
+  def allBlocksText(html: String, tag: String, selector: String): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    val sb = new StringBuilder
+    var idx = 0
+    var found = findOpenTag(cleaned, tag, selector, idx)
+    while (found.isDefined) {
+      sb.append(textOf(balancedBlock(cleaned, tag, found.get._1)))
+      idx += 1
+      found = findOpenTag(cleaned, tag, selector, idx)
+    }
+    sb.toString
+  }
+
+  /** Find blocks by a non-class attribute equality (e.g.
+    * itemprop="articleBody" — mod_en_in_ndtv.py:274-281), getText over all
+    * matches concatenated.
+    */
+  def allBlocksTextByAttr(html: String, tag: String, attr: String,
+                          value: String): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    val open = Pattern.compile("(?i)<" + tag + "\\b[^>]*>").matcher(cleaned)
+    val attrRe = Pattern.compile(
+      "(?i)\\b" + Pattern.quote(attr) + "\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
+    val sb = new StringBuilder
+    while (open.find()) {
+      val m = attrRe.matcher(open.group())
+      val v = if (m.find()) Option(if (m.group(2) != null) m.group(2) else m.group(3)) else None
+      if (v.contains(value)) {
+        sb.append(textOf(balancedBlock(cleaned, tag, open.start())))
+      }
+    }
+    sb.toString
+  }
+
+  /** TOI-style paragraph walk (mod_en_in_timesofindia.py:221-237):
+    * for each <p> inside the matched block, append each DIRECT text-node
+    * child, `.strip()`ed; the reference aborts the whole walk (via the
+    * caught AttributeError) at the first Tag child encountered — we stop
+    * identically.
+    */
+  def paragraphTextUntilTag(html: String, tag: String, selector: String): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    findOpenTag(cleaned, tag, selector, 0) match {
+      case None => ""
+      case Some((s, _)) =>
+        val block = balancedBlock(cleaned, tag, s)
+        val pOpen = Pattern.compile("(?i)<p\\b[^>]*>").matcher(block)
+        val sb = new StringBuilder
+        while (pOpen.find()) {
+          // direct children scan: alternate text / tags at depth 0 of <p>
+          var i = pOpen.end()
+          val n = block.length
+          var done = false
+          while (!done && i < n) {
+            val lt = block.indexOf('<', i)
+            val textEnd = if (lt < 0) n else lt
+            if (textEnd > i) {
+              val txt = StringEscapeUtils.unescapeHtml4(
+                block.substring(i, textEnd).replace("&apos;", "'"))
+              // NavigableStrings that are pure whitespace still get
+              // .strip()ed and appended (appending "" is a no-op).
+              sb.append(txt.strip())
+            }
+            if (lt < 0) { done = true }
+            else {
+              val gt = block.indexOf('>', lt)
+              if (gt < 0) { done = true }
+              else {
+                val tagMarkup = block.substring(lt, gt + 1)
+                if (tagMarkup.startsWith("</p") || tagMarkup.startsWith("</P")) {
+                  done = true // end of this paragraph, continue to next <p>
+                  i = gt + 1
+                } else {
+                  // first Tag child → reference raises AttributeError and
+                  // returns what it has so far: stop the WHOLE walk.
+                  return sb.toString
+                }
+              }
+            }
+          }
+        }
+        sb.toString
+    }
+  }
+
+  /** getText over every <p> with a single text-only child inside blocks
+    * carrying any of `classTokens` (ndtv find_all(class_=[...]) +
+    * find_all('p', text=True), mod_en_in_ndtv.py:266-273).
+    */
+  def textOnlyParagraphs(html: String, classTokens: Seq[String]): String = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    val anyTagOpen = Pattern.compile("(?i)<([a-z0-9]+)\\b[^>]*>").matcher(cleaned)
+    val sb = new StringBuilder
+    while (anyTagOpen.find()) {
+      val markup = anyTagOpen.group()
+      if (classAttr(markup).exists(a => classTokens.exists(classMatches(a, _)))) {
+        val tagName = anyTagOpen.group(1)
+        val block = balancedBlock(cleaned, tagName, anyTagOpen.start())
+        val p = Pattern.compile("(?is)<p\\b[^>]*>([^<]*)</p>").matcher(block)
+        while (p.find()) {
+          val inner = p.group(1)
+          if (inner.nonEmpty) {
+            sb.append(StringEscapeUtils.unescapeHtml4(
+              inner.replace("&apos;", "'")))
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column API: body text of the first matching block. */
+  def block_text(html: Column, tag: String, selector: String): Column =
+    ColumnBridge.column(BlockTextExpr(
+      ColumnBridge.expression(html), tag, selector, paragraphsOnly = false))
+
+  /** Column API: concatenated direct <p> text of the first match. */
+  def block_paragraph_text(html: Column, tag: String, selector: String): Column =
+    ColumnBridge.column(BlockTextExpr(
+      ColumnBridge.expression(html), tag, selector, paragraphsOnly = true))
+}
+
+/** Catalyst expression wrapping [[HtmlExtract.blockText]]. Deterministic,
+  * null-intolerant, CodegenFallback (interpreted eval — the regex work
+  * dominates, codegen would not help).
+  */
+case class BlockTextExpr(child: Expression, tag: String, selector: String,
+                         paragraphsOnly: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val html = input.asInstanceOf[UTF8String].toString
+    val out =
+      if (paragraphsOnly) HtmlExtract.blockParagraphText(html, tag, selector)
+      else HtmlExtract.blockText(html, tag, selector)
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "block_text"
+}
