@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.SchedulerConfig
+
+/** The frontier scheduler (north rule: partitioned priority frontier,
+  * per-host politeness budgets, robots gating, hot-host salting).
+  *
+  * Reference semantics rebuilt:
+  *  - per-plugin FIFO queues drained at a politeness-limited rate
+  *    (worker.py:943-1000, network.py:176-199) → per-host budget =
+  *    waveSeconds / (fixed + rand(min,max)) with a SEEDED deterministic
+  *    "rand" per (host, wave) so ordering reproduces at any parallelism;
+  *  - queue FIFO order → total order (priority, seq): seq is assigned
+  *    deterministically at discovery (SURVEY.md §4 item 4);
+  *  - robots gating is a north-rule addition (absent in the reference).
+  *
+  * Scale design: the per-host top-K window is the only shuffle; a skewed
+  * (hot) host would serialize into one task, so top-K runs in two phases —
+  * phase 1 keeps K per (host, salt) bucket, phase 2 keeps K per host over
+  * the ≤ saltBuckets·K survivors. AQE handles residual skew.
+  */
+object Scheduler {
+
+  /** Deterministic politeness wait for (host, waveId): fixed +
+    * pseudo-random-in-[min,max] drawn from xxhash64 — reproducible on any
+    * cluster size (BASELINE.md parity requirement).
+    */
+  def politenessWaitSecs(host: Column, waveId: Long,
+                         cfg: SchedulerConfig): Column = {
+    val span = (cfg.politenessRandMaxSecs - cfg.politenessRandMinSecs + 1)
+      .max(1)
+    lit(cfg.politenessFixedSecs) + lit(cfg.politenessRandMinSecs) +
+      pmod(xxhash64(host, lit(waveId)), lit(span.toLong)).cast("int")
+  }
+
+  /** Per-host fetch budget for this wave. */
+  def hostBudget(host: Column, waveId: Long, cfg: SchedulerConfig): Column =
+    least(
+      lit(cfg.topKPerHost),
+      floor(lit(cfg.waveSeconds).cast("double") /
+        politenessWaitSecs(host, waveId, cfg).cast("double")).cast("int"))
+
+  /** Robots gate: drop urls whose path starts with a disallowed prefix of
+    * their host. `robots(host STRING, disallowPrefixes ARRAY<STRING>)` is
+    * a dimension table → broadcast left join + exists-filter (no shuffle
+    * of the frontier side).
+    */
+  def robotsGate(frontier: DataFrame, robots: DataFrame): DataFrame = {
+    val r = broadcast(robots.select(col("host"),
+      col("disallowPrefixes").as("_disallow")))
+    frontier.join(r, Seq("host"), "left")
+      .filter(col("_disallow").isNull ||
+        !exists(col("_disallow"), p =>
+          parse_url(col("url"), lit("PATH")).startsWith(p)))
+      .drop("_disallow")
+  }
+
+  /** Two-phase per-host top-K under the politeness budget.
+    * Phase 1 bounds every (host, salt) bucket to the host budget cap so
+    * no single window task ever sees more than bucket-local rows of a hot
+    * host; phase 2 applies the exact per-host limit and yields the final
+    * (priority, seq) crawl order.
+    */
+  def topKPerHost(frontier: DataFrame, waveId: Long,
+                  cfg: SchedulerConfig): DataFrame = {
+    val budget = hostBudget(col("host"), waveId, cfg)
+    val salted = frontier.withColumn("_salt",
+      pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)).cast("int"))
+    val w1 = Window.partitionBy(col("host"), col("_salt"))
+      .orderBy(col("priority"), col("seq"))
+    val phase1 = salted
+      .withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= budget) // bucket cap = host budget
+      .drop("_salt", "_rn1")
+    val w2 = Window.partitionBy(col("host"))
+      .orderBy(col("priority"), col("seq"))
+    phase1
+      .withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= budget)
+      .withColumn("scheduleRank", col("_rn").cast("int"))
+      .drop("_rn")
+  }
+
+  /** Full wave scheduling: first-seen URL dedupe (P14) → seen-set
+    * anti-join (J1, bloom-pruned) → robots gate → per-host budgeted
+    * top-K. Returns the scheduled set with its total crawl order.
+    */
+  def schedule(frontier: DataFrame, seen: DataFrame, robots: DataFrame,
+               waveId: Long, cfg: SchedulerConfig,
+               blooms: Option[Array[Array[Byte]]] = None): DataFrame = {
+    // J1 first: seen-ness is uniform per url, so pruning before the
+    // first-seen dedupe cannot change which duplicate survives, and it
+    // shrinks every later stage.
+    val unseen = SeenSet.removeSeen(frontier, "url", seen, "url", blooms)
+    // P14 first-seen dedupe as a HASH AGGREGATION (map-side combinable —
+    // no global sort): min(struct(priority, seq, ...)) is the
+    // lexicographic minimum, i.e. the earliest (priority, seq) row.
+    val others = frontier.columns.filterNot(_ == "url").toSeq
+    val packed = struct((Seq("priority", "seq") ++
+      others.filterNot(c => c == "priority" || c == "seq"))
+      .map(col): _*)
+    val deduped = unseen
+      .groupBy(col("url")).agg(min(packed).as("_first"))
+      .select(col("url") +: others.map(c => col(s"_first.$c").as(c)): _*)
+    val gated = robotsGate(deduped, robots)
+    // NOTE: no trailing repartition — the scheduled set is small (≤ K per
+    // host); downstream stages (fetch join on url, frontier commit by
+    // hostHash) pick their own partitioning.
+    topKPerHost(gated, waveId, cfg)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The URL-seen set (SURVEY.md §2.5 J1 / north rule "distributed
+  * bloom/cuckoo URL-seen set").
+  *
+  * Reference semantics (`session_hist.py:349-422`): candidates are removed
+  * if present in URL_LIST ∪ FAILED_URLS ∪ HTTP_ERRORS; the reference
+  * chunks 5000-url NOT-IN probes against SQLite. Here: a sharded Bloom
+  * filter broadcast to executors PRUNES (splits candidates into
+  * definitely-new vs maybe-seen), and an exact left-anti join DECIDES the
+  * maybe-seen remainder — bloom false positives can never drop a URL, they only
+  * cost an extra join row. At 10^10-URL scale the bloom keeps the
+  * anti-join's shuffled build side proportional to (true hits + fpp·new)
+  * instead of the whole candidate set, and the definitely-new fraction
+  * skips the shuffle entirely.
+  */
+object SeenSet {
+
+  /** Stable shard of a url string (same function at build and probe). */
+  def shardOf(url: String, shards: Int): Int = {
+    val h = url.hashCode
+    ((h % shards) + shards) % shards
+  }
+
+  /** Build one Bloom filter per shard, distributed: partial blooms are
+    * built per partition and merged (associative, order-free →
+    * deterministic result regardless of parallelism).
+    */
+  def buildShardedBloom(seen: DataFrame, urlCol: String, shards: Int,
+                        expectedTotal: Long, fpp: Double): Array[Array[Byte]] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val perShard = math.max(expectedTotal / math.max(shards, 1), 1024L)
+    val urls = seen.select(col(urlCol)).as[String]
+    val zero = Array.fill(shards)(BloomFilter.create(perShard, fpp))
+    val merged = urls.rdd.treeAggregate(zero)(
+      seqOp = (acc, url) => {
+        acc(shardOf(url, shards)).putString(url); acc
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < shards) { a(i).mergeInPlace(b(i)); i += 1 }
+        a
+      })
+    merged.map { bf =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Column predicate: true iff url MIGHT be in the sharded bloom. */
+  def mightContain(spark: SparkSession, url: Column,
+                   blooms: Array[Array[Byte]]): Column = {
+    val bcast = spark.sparkContext.broadcast(blooms)
+    ColumnBridge.column(
+      BloomMightContainExpr(ColumnBridge.expression(url), bcast))
+  }
+
+  /** J1 removeAlreadyFetchedURLs: exact anti-join, optionally bloom-pruned.
+    * Result is EXACTLY equal to `candidates LEFT ANTI JOIN seen ON url` —
+    * the bloom only routes rows (SeenSetSpec asserts equality).
+    */
+  def removeSeen(candidates: DataFrame, urlCol: String, seen: DataFrame,
+                 seenUrlCol: String,
+                 blooms: Option[Array[Array[Byte]]] = None): DataFrame = {
+    val seenKeys = seen.select(col(seenUrlCol).as(urlCol))
+    blooms match {
+      case None =>
+        candidates.join(seenKeys, Seq(urlCol), "left_anti")
+      case Some(b) =>
+        val probe = mightContain(candidates.sparkSession, col(urlCol), b)
+        val definitelyNew = candidates.filter(!probe)
+        val maybeSeen = candidates.filter(probe)
+          .join(seenKeys, Seq(urlCol), "left_anti")
+        definitelyNew.unionByName(maybeSeen)
+    }
+  }
+}
+
+/** Deterministic bloom-membership probe over a broadcast sharded bloom.
+  * Blooms deserialize once per executor (lazy transient), not per row.
+  */
+case class BloomMightContainExpr(child: Expression,
+                                 bcast: Broadcast[Array[Array[Byte]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val blooms: Array[BloomFilter] =
+    bcast.value.map(b =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val url = input.asInstanceOf[UTF8String].toString
+    val shard = SeenSet.shardOf(url, blooms.length)
+    java.lang.Boolean.valueOf(blooms(shard).mightContainString(url))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}

@@ -1,4 +1,209 @@
 package graft.queries
 
-/** Placeholder — filled in as the Dedup operators land. */
-object DedupQueries { val defs: Seq[QueryDef] = Seq() }
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Near-duplicate detection operators for training-data pipelines
+  * (builder brief) + the reference's dedupe join J4
+  * (mod_dedupe.py:95-257 — cheap predicates first, similarity second,
+  * smaller/older copy dropped).
+  *
+  * The corpus is augmented with deterministic mutated copies (doc_id +
+  * 100000, text + one extra sentence) so the detectors have true
+  * near-dups to find; the same augmentation is reproduced in the DuckDB
+  * oracles. All hashing is md5 (identical bytes→hex in both engines), so
+  * even the MinHash signatures are oracle-checkable.
+  *
+  * Scale shape: shingle explode → groupBy is a map-side-combinable
+  * aggregation; candidate pairs come only from equal band-buckets
+  * (MinHash-LSH) or shared shingles (Jaccard) — never a full cross join.
+  */
+object DedupQueries {
+
+  /** documents ∪ mutated near-dup copies (every 5th doc). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val dups = d.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" extra trailing sentence added")).as("text"),
+      col("source"))
+    d.unionByName(dups)
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id,
+      |       concat(text, ' extra trailing sentence added') AS text, source
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Prefix of every dedup oracle: corpus + exploded shingles CTEs. */
+  private def withCtes(extra: String, body: String): String =
+    s"WITH corpus AS ($corpusSql),\n" +
+      s"sh_all AS ($shinglesSql)$extra\n$body"
+
+  /** Word 3-gram shingles, exploded: (doc_id, shingle). */
+  private def shingles(c: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    c.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+      .withColumn("w2", lead(col("word"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("w3", lead(col("word"), 2)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+  }
+
+  private val shinglesSql =
+    """SELECT doc_id,
+      |  array_to_string(words[i:i+2], ' ') AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+      |  UNNEST(generate_series(1, len(words) - 2)) AS t(i)""".stripMargin
+
+  /** q_dedup_minhash — MinHash-LSH banding: 4 bands, band signature =
+    * min(md5(band || ':' || shingle)); candidate pair = docs sharing any
+    * band bucket. Signatures are md5-string mins → oracle-checkable.
+    */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(corpus(s, dir))
+    val bands = sh.crossJoin(
+        s.range(4).select(col("id").cast("int").as("band")))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit(":"),
+        col("shingle")))).as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashSql = withCtes(
+    """,
+      |bands AS (
+      |  SELECT doc_id, band, min(md5(concat(CAST(band AS VARCHAR), ':', shingle))) AS sig
+      |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
+      |  GROUP BY doc_id, band)""".stripMargin,
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** q_dedup_simhash — 8-bit SimHash from md5 nibbles: bit_p = sign of
+    * Σ_tokens (nibble_p(md5(token)) ≥ 8 ? +1 : −1). Equal signatures →
+    * near-dup bucket.
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val tok = c.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", md5(col("word")))
+    val bitSums = (1 to 8).map { p =>
+      sum(when(substring(col("h"), p, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$p")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = concat((1 to 8).map(p =>
+      when(col(s"s$p") >= 0, "1").otherwise("0")): _*)
+    sums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  private val simhashSql = {
+    val sums = (1 to 8).map(p =>
+      s"sum(CASE WHEN substr(md5(word), $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+      .mkString(", ")
+    val sig = (1 to 8).map(p => s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH corpus AS ($corpusSql)
+       |SELECT doc_id, $sig AS simhash FROM (
+       |  SELECT doc_id, $sums
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_dedup_jaccard — exact n-gram Jaccard over shared-shingle candidate
+    * pairs (J4 shape: cheap equi-join on shingle bounds the pair space;
+    * no cross join). Pairs with jaccard ≥ 0.6 are near-dups.
+    */
+  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(corpus(s, dir)).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val jaccardCtes =
+    """,
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSql = withCtes(jaccardCtes,
+    """SELECT doc_a, doc_b,
+      |  round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+      |FROM common
+      |JOIN sizes na ON na.doc_id = doc_a
+      |JOIN sizes nb ON nb.doc_id = doc_b
+      |WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** q_dedup_survivors — end-to-end dedupe: drop exact dups (md5) and
+    * Jaccard≥0.6 near-dups, keeping the smallest doc_id (J4's keep rule
+    * rebuilt deterministically: mod_dedupe.py:231-237 keeps the larger
+    * text; here sizes tie so the stable tiebreak is the id).
+    */
+  private def survivors(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val exactKeep = c.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearPairs = jaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    exactKeep.join(nearPairs, Seq("doc_id"), "left_anti")
+      .join(c, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_survivors"))
+      .orderBy("source")
+  }
+
+  private val survivorsSql = withCtes(jaccardCtes +
+    """,
+      |near AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM common
+      |  JOIN sizes na ON na.doc_id = common.doc_a
+      |  JOIN sizes nb ON nb.doc_id = common.doc_b
+      |  WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) >= 0.6),
+      |exact_keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))""".stripMargin,
+    """SELECT source, count(*) AS n_survivors
+      |FROM corpus
+      |WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+      |  AND doc_id NOT IN (SELECT doc_id FROM near)
+      |GROUP BY source ORDER BY source""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
+    QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("q_dedup_jaccard", jaccard, Some(jaccardSql)),
+    QueryDef("q_dedup_survivors", survivors, Some(survivorsSql))
+  )
+}

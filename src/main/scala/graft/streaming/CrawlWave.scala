@@ -1,0 +1,212 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.SchedulerConfig
+import graft.functions.{HtmlExtract, TextClean, UrlFunctions => U}
+import graft.operators.{Scheduler, SeenSet}
+import graft.plans.SnapshotTable
+
+/** One crawl wave = one driver-orchestrated micro-batch (SURVEY.md §2.9,
+  * §3): dequeue top-K per host under the politeness budget → fetch-join
+  * against the pages table (J3; the reference's network GET,
+  * network.py:201-313) → extract articles (§2.4/§3.3) → discover links
+  * (S5→F6→J1) → commit frontier/seen/articles snapshots with counters.
+  *
+  * Crash/resume: the three tables commit sequentially; a wave is
+  * re-runnable because every stage is a deterministic function of the
+  * PARENT snapshots, and per-table wave ids make re-commits idempotent
+  * (a table already at this waveId skips). The engine resumes from
+  * `min(latest waveId per table)` — exactly the north rule's
+  * "killed job resumes mid-wave with identical crawl ordering and
+  * URL-seen membership".
+  *
+  * Ordering: child seq = parentSeq * 1000 + linkPosition (< 1000 links
+  * kept per page — base_plugin.py:1248-1251 caps at 500), a collision-free
+  * total order that needs NO global row-numbering shuffle and reproduces
+  * at any parallelism up to the 4-level recursion cap
+  * (base_plugin.py:876-951; 10^6 seeds × 1000^4 < 2^63).
+  */
+final class CrawlEngine(spark: SparkSession, val root: String,
+                        pages: DataFrame, robots: DataFrame,
+                        cfg: SchedulerConfig) {
+
+  val frontierSchema: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("source", StringType),
+    StructField("host", StringType), StructField("hostHash", IntegerType),
+    StructField("priority", IntegerType),
+    StructField("waveDiscovered", LongType), StructField("seq", LongType),
+    StructField("attempts", IntegerType)))
+
+  val seenSchema: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("source", StringType),
+    StructField("status", StringType), StructField("httpCode", IntegerType),
+    StructField("pubdate", DateType), StructField("rawsize", LongType),
+    StructField("datasize", LongType)))
+
+  val articleSchema: StructType = StructType(Seq(
+    StructField("url", StringType), StructField("uniqueId", StringType),
+    StructField("module", StringType), StructField("pubdate", DateType),
+    StructField("title", StringType), StructField("text", StringType),
+    StructField("textSize", LongType), StructField("waveId", LongType)))
+
+  val frontierT = new SnapshotTable(spark, s"$root/frontier")
+  val seenT = new SnapshotTable(spark, s"$root/seen")
+  val articlesT = new SnapshotTable(spark, s"$root/articles")
+
+  final case class WaveStats(waveId: Long, scheduled: Long, fetched: Long,
+                             failed: Long, newLinks: Long)
+
+  private def hostHashCol(host: org.apache.spark.sql.Column) =
+    pmod(xxhash64(host), lit(cfg.numPartitions.toLong)).cast("int")
+
+  /** Initialize the frontier with seed urls `(url, source, priority, seq)`
+    * — wave 0 snapshot.
+    */
+  def init(seedUrls: DataFrame): Unit = {
+    val f = seedUrls.select(
+      lower(col("url")).as("url"), col("source"),
+      U.host(col("url")).as("host"),
+      hostHashCol(U.host(col("url"))).as("hostHash"),
+      col("priority").cast("int").as("priority"),
+      lit(0L).as("waveDiscovered"), col("seq").cast("long").as("seq"),
+      lit(0).as("attempts"))
+    frontierT.commitReplace(f, 0L, Map("seeded" -> f.count()))
+    seenT.commitReplace(seenT.read(seenSchema).limit(0), 0L)
+    articlesT.commitReplace(articlesT.read(articleSchema).limit(0), 0L)
+  }
+
+  /** The wave every table has fully committed. */
+  def lastCompleteWave: Long =
+    Seq(frontierT, seenT, articlesT)
+      .map(_.latest.map(_.waveId).getOrElse(-1L)).min
+
+  /** Article extraction pipeline (pure column expressions + the
+    * BlockTextExpr Catalyst expression; no UDFs). */
+  private def extractArticles(fetched: DataFrame, waveId: Long): DataFrame = {
+    val html = col("html").cast("string")
+    val body = HtmlExtract.block_text(html, "div", "artText")
+    fetched
+      .withColumn("_body", body)
+      .select(
+        col("url"),
+        U.uniqueId(col("url"), U.defaultIdRegexes).as("uniqueId"),
+        col("source").as("module"),
+        to_date(nullif(regexp_extract(html,
+          "(data\\-date=\")([0-9]{4}\\-[0-9]{2}\\-[0-9]{2})(\")", 2),
+          lit("")), "yyyy-MM-dd").as("pubdate"),
+        regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
+        TextClean.cleanText(col("_body")).as("text"),
+        length(col("_body")).cast("long").as("textSize"),
+        lit(waveId).as("waveId"))
+      .filter(col("textSize") > 10) // F8 min-text gate (configurable)
+  }
+
+  /** Discover next-wave frontier rows from fetched pages (S5 link
+    * extraction → F6 filters → first-seen dedupe → J1 anti-join).
+    */
+  private def discoverLinks(fetched: DataFrame, waveId: Long,
+                            seen: DataFrame, frontierRest: DataFrame,
+                            scheduled: DataFrame): DataFrame = {
+    val html = col("html").cast("string")
+    val links = fetched.select(
+        col("url").as("parentUrl"), col("source"),
+        col("priority"), col("seq").as("parentSeq"),
+        posexplode(slice(U.extractLinks(col("url"), html), 1,
+          math.min(cfg.maxLinksPerPage, 999))))
+      .select(
+        lower(col("col")).as("url"), col("source"),
+        col("priority"),
+        lit(waveId).as("waveDiscovered"),
+        (col("parentSeq") * 1000 + col("pos") + 1).as("seq"))
+      .filter(U.isValidUrl(col("url")))
+    // first-seen dedupe within the wave (P14): smallest seq wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("seq"))
+    val deduped = links
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+    // drop anything already seen, already pending, or scheduled this wave
+    val known = seen.select("url")
+      .unionByName(frontierRest.select("url"))
+      .unionByName(scheduled.select("url"))
+    deduped.join(known, Seq("url"), "left_anti")
+      .select(col("url"), col("source"),
+        U.host(col("url")).as("host"),
+        hostHashCol(U.host(col("url"))).as("hostHash"),
+        col("priority"), col("waveDiscovered"), col("seq"),
+        lit(0).as("attempts"))
+  }
+
+  /** Run the next wave; returns its stats. Re-running after a partial
+    * commit (crash) completes the wave without duplicating effects.
+    */
+  def runWave(): WaveStats = {
+    val waveId = lastCompleteWave + 1
+    val frontier = frontierT.readAtWave(frontierSchema, waveId - 1)
+    val seen = seenT.readAtWave(seenSchema, waveId - 1)
+    val seenCount = seen.count()
+    val blooms =
+      if (seenCount > 0)
+        Some(SeenSet.buildShardedBloom(seen, "url", cfg.bloomShards,
+          math.max(seenCount, 1024L), cfg.bloomFpp))
+      else None
+
+    val scheduled = Scheduler
+      .schedule(frontier, seen, robots, waveId, cfg, blooms)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetchJoin = scheduled.join(
+        pages.select(col("url"), col("html")), Seq("url"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetched = fetchJoin.filter(col("html").isNotNull)
+    val failed = fetchJoin.filter(col("html").isNull)
+
+    val articles = extractArticles(fetched, waveId)
+    val newSeen = fetched.select(
+        col("url"), col("source"), lit("completed").as("status"),
+        lit(200).as("httpCode"), lit(null).cast(DateType).as("pubdate"),
+        length(col("html")).cast("long").as("rawsize"),
+        lit(0L).as("datasize"))
+      .unionByName(failed.select(
+        col("url"), col("source"), lit("failed").as("status"),
+        lit(0).as("httpCode"), lit(null).cast(DateType).as("pubdate"),
+        lit(0L).as("rawsize"), lit(0L).as("datasize")))
+
+    val frontierRest = frontier
+      .join(scheduled.select("url"), Seq("url"), "left_anti")
+    val newLinks = discoverLinks(fetched, waveId, seen, frontierRest,
+      scheduled).persist(StorageLevel.MEMORY_AND_DISK)
+    val nextFrontier = frontierRest.unionByName(newLinks)
+
+    val stats = WaveStats(waveId,
+      scheduled = scheduled.count(),
+      fetched = fetched.count(),
+      failed = failed.count(),
+      newLinks = newLinks.count())
+    val counters = Map(
+      "scheduled" -> stats.scheduled, "fetched" -> stats.fetched,
+      "failed" -> stats.failed, "newLinks" -> stats.newLinks)
+
+    // idempotent per-table commits (skip tables already at this wave)
+    if (seenT.latest.forall(_.waveId < waveId))
+      seenT.commitAppend(newSeen, waveId, counters)
+    if (articlesT.latest.forall(_.waveId < waveId))
+      articlesT.commitAppend(articles, waveId, counters)
+    if (frontierT.latest.forall(_.waveId < waveId))
+      frontierT.commitReplace(
+        nextFrontier.repartition(cfg.numPartitions, col("hostHash")),
+        waveId, counters)
+
+    scheduled.unpersist(); fetchJoin.unpersist(); newLinks.unpersist()
+    stats
+  }
+
+  def runWaves(n: Int): Seq[WaveStats] = (1 to n).map(_ => runWave())
+
+  def seenUrls(): DataFrame = seenT.read(seenSchema)
+  def frontierNow(): DataFrame = frontierT.read(frontierSchema)
+  def articlesNow(): DataFrame = articlesT.read(articleSchema)
+}
