@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query definitions, grouped by module. */
   def allDefs: Seq[QueryDef] =
     TpchQueries.defs ++ CrawlQueries.defs ++ TextQueries.defs ++
-      EventQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
+      EventQueries.defs ++ MiscQueries.defs ++ DedupQueries.defs ++ VectorQueries.defs ++
       ExtractQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

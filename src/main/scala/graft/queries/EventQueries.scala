@@ -104,7 +104,42 @@ object EventQueries {
       |  count(*) AS n, round(sum(value), 4) AS v
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** q_stream_hourly — REAL Structured Streaming (§2.9): file-source
+    * readStream over the events parquet → windowed count/sum → memory
+    * sink, drained synchronously with processAllAvailable. Epoch-aligned
+    * 1-hour windows make window.start ≡ date_trunc('hour', ts), so the
+    * batch oracle checks the streaming result exactly.
+    */
+  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val schema = events(s, dir).schema
+    // the file stream source requires a directory: stage the single
+    // events file into a temp dir (read-only testdata can't be used
+    // directly because it mixes table schemas)
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+    val qn = "graft_stream_hourly"
+    s.catalog.dropTempView(qn) // idempotent re-runs within a session
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn).select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("v"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val streamHourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("q_http_error_stats", httpErrorStats, Some(httpErrorStatsSql)),
     QueryDef("q_gdelt_scan", gdeltScan, Some(gdeltScanSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),

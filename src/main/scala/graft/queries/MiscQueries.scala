@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.KeywordFlags
+import Tables._
+
+/** Remaining reference-operator queries: RSS scan (S1), archive-URL date
+  * math (S4), date-range scan (S9), keyword flags, sentiment rollup (A3),
+  * author extraction (P21), base64 (P12/P16), keyword merge (P18), and
+  * multimodal binary plumbing.
+  */
+object MiscQueries {
+
+  /** q_keyword_flags — the 19 trigger-word indicators
+    * (mod_keywordflags.py:57-133) over document text with deterministic
+    * trigger phrases injected so flags actually fire.
+    */
+  private def keywordFlags(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(" employees strike tomorrow"))
+        .when(col("doc_id") % 4 === 1, lit(" new director was appointed"))
+        .when(col("doc_id") % 4 === 2, lit(" forensic audit found fraud"))
+        .otherwise(lit("")))
+    documents(s, dir).select(
+      (col("doc_id") +: KeywordFlags.flagColumns(injected)): _*)
+      .orderBy("doc_id")
+  }
+
+  private val keywordFlagsSql = {
+    val inject =
+      """concat(text, CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN ' employees strike tomorrow'
+        |  WHEN 1 THEN ' new director was appointed'
+        |  WHEN 2 THEN ' forensic audit found fraud' ELSE '' END)""".stripMargin
+    val cols = KeywordFlags.flagRegexes.map { case (name, re) =>
+      // DuckDB single-quoted strings are raw (no backslash escapes)
+      val esc = re.replace("'", "''")
+      s"CASE WHEN regexp_matches(lower($inject), '$esc') THEN 1 ELSE 0 END AS ${name.toLowerCase}"
+    }.mkString(",\n  ")
+    s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
+  }
+
+  /** q_rss_scan — S1 RSS feed scan (base_plugin.py:708-773): per
+    * <channel><item>, the first <link> content, normalized to lowercase.
+    * The feed XML is synthesized deterministically per source.
+    */
+  private def rssScan(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val feeds = d.groupBy("source").agg(
+      concat(
+        lit("<?xml version=\"1.0\"?><rss><channel><title>t</title>" +
+          "<link>https://feed.example.com</link>"),
+        concat_ws("", sort_array(collect_list(concat(
+          lit("<item><title>i</title><link>https://www.Feed"),
+          col("source"), lit(".com/Article-"), col("doc_id").cast("string"),
+          lit("</link></item>"))))),
+        lit("</channel></rss>")).as("xml"))
+    feeds.select(col("source"),
+        explode(expr(
+          "regexp_extract_all(xml, '(?s)<item>.*?<link\\\\s*>([^<]*)</link>', 1)"))
+          .as("raw_link"))
+      .select(col("source"), lower(col("raw_link")).as("url"))
+      .orderBy("source", "url")
+  }
+
+  private val rssScanSql =
+    """SELECT source,
+      |  lower(concat('https://www.Feed', source, '.com/Article-',
+      |        CAST(doc_id AS VARCHAR))) AS url
+      |FROM documents ORDER BY source, url""".stripMargin
+
+  /** q_archive_dates — S4 archive-URL-for-date math: ecotimes Excel
+    * day-number `datediff(runDate, 1899-12-31) + 1`
+    * (mod_en_in_ecotimes.py:536-573) and Hindu `archive/print/%Y/%m/%d`
+    * (mod_en_in_hindu.py:60).
+    */
+  private def archiveDates(s: SparkSession, dir: String): DataFrame = {
+    val runDate = date_add(lit("2021-01-01").cast("date"),
+      (col("doc_id") % 60).cast("int"))
+    documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("https://economictimes.indiatimes.com/archivelist/year-"),
+          date_format(runDate, "yyyy"), lit(",month-"),
+          month(runDate).cast("string"), lit(",starttime-"),
+          (datediff(runDate, lit("1899-12-31").cast("date")) + 1)
+            .cast("string"), lit(".cms")).as("ecotimes_url"),
+        concat(lit("https://www.thehindu.com/archive/print/"),
+          date_format(runDate, "yyyy/MM/dd"), lit("/")).as("hindu_url"))
+      .orderBy("doc_id")
+  }
+
+  private val archiveDatesSql =
+    """SELECT doc_id,
+      |  concat('https://economictimes.indiatimes.com/archivelist/year-',
+      |    strftime(d, '%Y'), ',month-', CAST(month(d) AS VARCHAR),
+      |    ',starttime-', CAST(datediff('day', DATE '1899-12-31', d) + 1 AS VARCHAR),
+      |    '.cms') AS ecotimes_url,
+      |  concat('https://www.thehindu.com/archive/print/',
+      |    strftime(d, '%Y/%m/%d'), '/') AS hindu_url
+      |FROM (SELECT doc_id,
+      |        (DATE '2021-01-01' + INTERVAL (doc_id % 60) DAY)::DATE AS d
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_date_range_scan — S9 NSE/BSE bhavcopy date-range generation
+    * (mod_in_nse.py:114-233): per recursion level N ∈ {1,10,31}, the
+    * previous-N-days URL list `prefix + ddMMyy + .zip`.
+    */
+  private def dateRangeScan(s: SparkSession, dir: String): DataFrame = {
+    val runDate = lit("2021-03-15").cast("date")
+    val n = when(col("doc_id") % 3 === 0, 1)
+      .when(col("doc_id") % 3 === 1, 10).otherwise(31)
+    documents(s, dir).filter(col("doc_id") < 30)
+      .select(col("doc_id"), explode(sequence(date_sub(runDate, n),
+        date_sub(runDate, 1))).as("d"))
+      .select(col("doc_id"),
+        concat(lit("https://www.nseindia.com/content/equities/bhav"),
+          date_format(col("d"), "ddMMyy"), lit(".zip")).as("url"))
+      .orderBy("doc_id", "url")
+  }
+
+  private val dateRangeScanSql =
+    """SELECT doc_id,
+      |  concat('https://www.nseindia.com/content/equities/bhav',
+      |    strftime(d, '%d%m%y'), '.zip') AS url
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(generate_series(
+      |      DATE '2021-03-15' - to_days(CAST(n AS INT)),
+      |      DATE '2021-03-15' - to_days(1), INTERVAL 1 DAY))::DATE AS d
+      |  FROM (SELECT doc_id,
+      |          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 10
+      |               ELSE 31 END AS n
+      |        FROM documents WHERE doc_id < 30))
+      |ORDER BY doc_id, url""".stripMargin
+
+  /** q_sentiment_rollup — A3 sentence-sentiment aggregation
+    * (mod_eventclass.py:147-187): explode sentences, score each with the
+    * deterministic classifier stand-in (the reference ships the finBERT
+    * model disabled; its default emits fixed scores —
+    * mod_eventclass.py:157), sum per document.
+    */
+  private def sentimentRollup(s: SparkSession, dir: String): DataFrame = {
+    val sent = documents(s, dir).select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sentence")))
+      .filter(length(col("sentence")) > 0)
+    val score = (length(col("sentence")) % 10).cast("double") / 10.0
+    sent.groupBy("doc_id").agg(
+        count(lit(1)).as("n_sentences"),
+        round(sum(score), 4).as("positive"),
+        round(sum(lit(1.0) - score), 4).as("negative"))
+      .orderBy("doc_id")
+  }
+
+  private val sentimentRollupSql =
+    """SELECT doc_id, count(*) AS n_sentences,
+      |  round(sum(CAST(length(sentence) % 10 AS DOUBLE) / 10.0), 4) AS positive,
+      |  round(sum(1.0 - CAST(length(sentence) % 10 AS DOUBLE) / 10.0), 4) AS negative
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS sentence
+      |      FROM documents)
+      |WHERE length(sentence) > 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q_authors_extract — P21 author extraction (TOI pattern,
+    * mod_en_in_timesofindia.py:250-263): first regex group match, split
+    * on commas.
+    */
+  private def authorsExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit("<script>{\"author\":{\"@type\":\"Person\",\"name\":\"Reporter "),
+      (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, lit(", Staff Writer")).otherwise(lit("")),
+      lit("\"}}</script>"))
+    documents(s, dir).select(col("doc_id"),
+        explode(split(regexp_extract(html,
+          "(\"author\":\\{\"@type\":\"Person\",\"name\":\")([a-zA-Z0-9 ,]+)(\"\\})", 2),
+          ", ")).as("author"))
+      .orderBy("doc_id", "author")
+  }
+
+  private val authorsExtractSql =
+    """SELECT doc_id, author FROM (
+      |  SELECT doc_id, concat('Reporter ', CAST(doc_id % 7 AS VARCHAR)) AS author
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'Staff Writer' AS author FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id, author""".stripMargin
+
+  /** q_base64 — P12 html base64 encode/decode round-trip
+    * (news_event.py:82-108) + P16 decodeSecret (scraper_utils.py:164-174).
+    */
+  private def base64Query(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+        col("doc_id"),
+        base64(encode(substring(col("text"), 1, 30), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(substring(col("text"), 1, 30), "UTF-8"))),
+          "UTF-8").as("roundtrip"))
+      .orderBy("doc_id")
+
+  private val base64Sql =
+    """SELECT doc_id,
+      |  to_base64(encode(substr(text, 1, 30))) AS b64,
+      |  substr(text, 1, 30) AS roundtrip
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q_keyword_merge — P18 keyword import/clean (news_event.py:360-385):
+    * merge two keyword sources, split on commas, first-seen dedupe
+    * preserving order, render as an ordered array.
+    */
+  private def keywordMerge(s: SparkSession, dir: String): DataFrame = {
+    val kw1 = split(substring(col("text"), 1, 40), " ")
+    val kw2 = split(concat(lit("alpha,beta,"),
+      substring(col("text"), 1, 10)), ",")
+    // first-seen order over the concatenation: array_distinct preserves
+    // first-occurrence order (P14 semantics)
+    documents(s, dir).select(col("doc_id"),
+        array_distinct(concat(kw1, kw2)).as("keywords"))
+      .select(col("doc_id"),
+        concat_ws("|", col("keywords")).as("keywords_joined"))
+      .orderBy("doc_id")
+  }
+
+  private val keywordMergeSql =
+    """SELECT doc_id,
+      |  array_to_string(list_distinct_ordered, '|') AS keywords_joined
+      |FROM (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      list_concat(string_split(substr(text, 1, 40), ' '),
+      |                  string_split(concat('alpha,beta,', substr(text, 1, 10)), ',')),
+      |      (x, i) -> list_position(
+      |        list_concat(string_split(substr(text, 1, 40), ' '),
+      |                    string_split(concat('alpha,beta,', substr(text, 1, 10)), ',')), x) = i
+      |    ) AS list_distinct_ordered
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_multimodal_meta — multimodal binary-column plumbing: opaque
+    * payload bytes with a typed magic header, byte length, fake decoded
+    * feature (deterministic stand-in for the image decoder, which is
+    * stubbed per the builder brief), and frame-sample offsets.
+    */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(encode(lit("IMG0"), "UTF-8"),
+      encode(col("text"), "UTF-8"))
+    documents(s, dir)
+      .withColumn("payload", payload)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        decode(substring(col("payload"), 1, 4), "UTF-8").as("magic"),
+        // deterministic fake "decode": first md5 nibble of the payload
+        (expr("locate(substring(md5(payload), 1, 1), '0123456789abcdef')")
+          - 1).cast("int").as("fake_mean"),
+        explode(sequence(lit(0), lit(3))).as("frame_idx"))
+      .withColumn("frame_offset",
+        (lit(4) + col("frame_idx") *
+          floor((col("n_bytes") - 4) / 4).cast("bigint")).cast("bigint"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, n_bytes, magic, fake_mean,
+      |  CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(4 + frame_idx * ((n_bytes - 4) // 4) AS BIGINT) AS frame_offset
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(4 + length(text) AS BIGINT) AS n_bytes,
+      |    'IMG0' AS magic,
+      |    CAST(strpos('0123456789abcdef',
+      |      substr(md5(concat('IMG0', text)), 1, 1)) - 1 AS INT) AS fake_mean
+      |  FROM documents),
+      |  UNNEST(generate_series(0, 3)) AS f(frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_keyword_flags", keywordFlags, Some(keywordFlagsSql)),
+    QueryDef("q_rss_scan", rssScan, Some(rssScanSql)),
+    QueryDef("q_archive_dates", archiveDates, Some(archiveDatesSql)),
+    QueryDef("q_date_range_scan", dateRangeScan, Some(dateRangeScanSql)),
+    QueryDef("q_sentiment_rollup", sentimentRollup, Some(sentimentRollupSql)),
+    QueryDef("q_authors_extract", authorsExtract, Some(authorsExtractSql)),
+    QueryDef("q_base64", base64Query, Some(base64Sql)),
+    QueryDef("q_keyword_merge", keywordMerge, Some(keywordMergeSql)),
+    QueryDef("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql))
+  )
+}
