@@ -1,0 +1,112 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{DomWalk, HtmlExtract}
+
+/** Per-source article-body extraction cascades (SURVEY.md §2.4) — the
+  * reference's plugin `extractArticleBody` fallback chains, one entry per
+  * news source, each rebuilt as a deterministic Scala function exposed
+  * through one Catalyst expression. Fixture parity is pinned in
+  * FixtureParitySpec (ecotimes 2914, timesofindia 1210, indiakanoon
+  * 12287, ndtv >6000, inexp >5000, others 0 on their fixtures).
+  */
+object SourceCascades {
+
+  /** mod_en_in_ecotimes.py:637-762 — five formats, first non-trivial
+    * (len ≥ 5) wins. Gate conditions reproduced: format2/3/4 only fire if
+    * their marker block exists (format4's trailing-space selector can
+    * never match — kept for fidelity).
+    */
+  def ecotimes(html: String): String = {
+    def f1 = { // article-body → post-text → div.Normal
+      val outer = HtmlExtract.blockText(html, "div", "article-body")
+      if (outer.isEmpty) ""
+      else HtmlExtract.blockText(html, "div", "Normal")
+    }
+    def f2 = HtmlExtract.blockText(html, "article", "artData clr paywall") match {
+      case "" => ""
+      case _ => HtmlExtract.blockText(html, "div", "artText")
+    }
+    def f3 = HtmlExtract.blockParagraphText(html, "div", "main-content")
+    def f4 = HtmlExtract.blockText(html, "article", "artData clr ")
+    def f5 = HtmlExtract.blockText(html, "div", "artText")
+    Seq(f1, f2, f3, f4, f5).find(_.length >= 5).getOrElse("")
+  }
+
+  /** mod_en_in_timesofindia.py:221-237. */
+  def timesofindia(html: String): String =
+    HtmlExtract.paragraphTextUntilTag(html, "div",
+      "main-content single-article-content")
+
+  /** mod_en_in_indiakanoon.py:213-251 — parent walk. */
+  def indiakanoon(html: String): String = DomWalk.indiakanoonBody(html)
+
+  /** mod_en_in_ndtv.py:259-282 — class-list paragraph scan + itemprop
+    * articleBody blocks.
+    */
+  def ndtv(html: String): String =
+    HtmlExtract.textOnlyParagraphs(html,
+      Seq("ins_storybody", "content_text row description",
+        "fullstoryCtrl_fulldetails")) +
+      HtmlExtract.allBlocksTextByAttr(html, "span", "itemprop", "articleBody") +
+      HtmlExtract.allBlocksTextByAttr(html, "div", "itemprop", "articleBody")
+
+  /** mod_en_in_inexp_business.py:161 / mod_en_in_forbes.py:171 /
+    * mod_en_in_hindu.py:182-185 — div.articlestorycontent (hindu also
+    * scans p.body first).
+    */
+  def articleStoryContent(html: String): String =
+    HtmlExtract.allBlocksText(html, "div", "articlestorycontent")
+
+  def hindu(html: String): String = {
+    val paras = HtmlExtract.textOnlyParagraphs(html, Seq("body"))
+    if (paras.nonEmpty) paras else articleStoryContent(html)
+  }
+
+  /** mod_en_in_moneycontrol.py:425-433 — div.text_block text-only <p>s. */
+  def moneycontrol(html: String): String =
+    HtmlExtract.textOnlyParagraphs(html, Seq("text_block"))
+
+  /** Generic fallback (synthetic pages): div.artText. */
+  def default(html: String): String =
+    HtmlExtract.blockText(html, "div", "artText")
+
+  val registry: Map[String, String => String] = Map[String, String => String](
+    "ecotimes" -> (ecotimes(_)),
+    "timesofindia" -> (timesofindia(_)),
+    "indiakanoon" -> (indiakanoon(_)),
+    "ndtv" -> (ndtv(_)),
+    "inexp_business" -> (articleStoryContent(_)),
+    "forbes" -> (articleStoryContent(_)),
+    "hindu" -> (hindu(_)),
+    "moneycontrol" -> (moneycontrol(_))
+  ).withDefaultValue(default(_))
+
+  /** Column API: body of `html` using the cascade for `source` (a
+    * literal source name resolves the cascade at plan time; per-row
+    * source dispatch uses SourceBodyExpr's binary form).
+    */
+  def body_text(html: Column, source: String): Column =
+    ColumnBridge.column(
+      SourceBodyExpr(ColumnBridge.expression(html), source))
+}
+
+/** Catalyst expression dispatching to a per-source extraction cascade. */
+case class SourceBodyExpr(child: Expression, source: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      SourceCascades.registry(source)(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"body_text_$source"
+}

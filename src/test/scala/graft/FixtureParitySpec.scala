@@ -71,6 +71,27 @@ class FixtureParitySpec extends AnyFunSuite {
     assert(body.length > 5000, s"got ${body.length}")
   }
 
+  test("indiakanoon 49865912: parent walk is exactly 12287 chars") {
+    val html = fixture("mod_en_in_indiakanoon_49865912.html.bz2")
+    val body = graft.extract.SourceCascades.indiakanoon(html)
+    assert(body.length == 12287, s"got ${body.length}")
+    assert(body.contains("Premium Member"))
+  }
+
+  test("per-source cascade registry reproduces each pinned length") {
+    import graft.extract.SourceCascades.registry
+    assert(registry("ecotimes")(
+      fixture("mod_en_in_ecotimes_73837853.html.bz2")).length == 2914)
+    assert(registry("timesofindia")(
+      fixture("mod_en_in_timesofindia_0xa2097d6c.html.bz2")).length == 1210)
+    assert(registry("indiakanoon")(
+      fixture("mod_en_in_indiakanoon_49865912.html.bz2")).length == 12287)
+    assert(registry("ndtv")(
+      fixture("mod_en_in_ndtv_2373245.html.bz2")).length > 6000)
+    assert(registry("inexp_business")(
+      fixture("mod_en_in_inexp_business_2238510.html.bz2")).length > 5000)
+  }
+
   test("non-matching fixtures extract empty (reference pins len==0)") {
     val cases = Seq(
       ("mod_en_in_hindu_30713792.html.bz2",
