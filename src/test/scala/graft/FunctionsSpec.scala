@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DateExtract, TextClean, UrlFunctions => U}
+
+/** Scalar-function parity pins (SURVEY.md §2.3): CRC32 format vs Python
+  * zlib/hex(), cleanText replacement order, sentence-gap fixes from the
+  * reference docstring, first-seen dedupe order
+  * (test_scraper_utils.py:50-62), cutBetween, and the P6 date cascade
+  * with F9 future rejection.
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.cast("string")).as[String].head()
+
+  test("P3 crc32Hex matches Python zlib.crc32 + hex() exactly") {
+    // expected values computed with CPython: hex(zlib.crc32(s) & 0xffffffff)
+    val cases = Seq(
+      "https://www.example.com/a-b-12345" -> "0x3836aa18",
+      "hello world" -> "0xd4a1185", // 7 hex digits — NO zero padding
+      "economictimes" -> "0xcce95146")
+    cases.foreach { case (in, expect) =>
+      assert(eval1(U.crc32Hex(lit(in))) == expect, in)
+    }
+  }
+
+  test("P4 uniqueId: first regex wins, CRC32 fallback on no match") {
+    val matching = "https://www.site.com/markets/story-12345"
+    assert(eval1(U.uniqueId(lit(matching), U.defaultIdRegexes)) == "12345")
+    val nonMatching = "https://example.org/nothing"
+    assert(eval1(U.uniqueId(lit(nonMatching), U.defaultIdRegexes))
+      .startsWith("0x"))
+  }
+
+  test("P7 cleanText: ordered substitutions (mojibake before lone â)") {
+    val in = "Priceâ€™s up: Rs.5 crore — good🙂 “quote” today.It rose"
+    val out = eval1(TextClean.cleanText(lit(in)))
+    assert(!out.contains("â"))
+    assert(out.contains("Rupees 5"))
+    assert(out.contains("- good"))
+    assert(out.contains("'quote'"))
+    assert(out.contains("today. It rose")) // P8 sentence gap
+  }
+
+  test("P8 fixSentenceGaps: actual reference regex behavior") {
+    // NOTE: the reference DOCSTRING claims it fixes 'morning.A total' and
+    // 'IST).The stock', but its regex `(\b[a-zA-Z]{2,})(\.)([A-Z][a-zA-Z])`
+    // requires TWO letters after the dot and ≥2 letters before it — so
+    // those examples do NOT change under the reference either. We pin the
+    // real behavior (verified against Python re.sub).
+    val cases = Seq(
+      "in the morning.A total" -> "in the morning.A total", // unchanged
+      "IST).The stock" -> "IST).The stock", // unchanged (')' before dot)
+      "said today.It rose" -> "said today. It rose", // the real fix case
+      "to Rs 167.75.Earlier, the spokesman" ->
+        "to Rs 167.75.Earlier, the spokesman") // digits before dot
+    cases.foreach { case (in, expect) =>
+      assert(eval1(TextClean.fixSentenceGaps(lit(in))) == expect, in)
+    }
+  }
+
+  test("P9 collapseRepeats equals the reference's fixed-point collapse") {
+    val in = "a  b   c----d..e\t\tf"
+    val out = eval1(TextClean.collapseRepeats(lit(in),
+      TextClean.defaultRepeatChars))
+    assert(out == "a b c-d.e\tf")
+  }
+
+  test("P11 cutBetween: strictly between first start and next end tag") {
+    assert(eval1(TextClean.cutBetween(
+      lit("<t>alpha</t><t>beta</t>"), "<t>", "</t>")) == "alpha")
+    assert(eval1(TextClean.cutBetween(
+      lit("no tags here"), "<t>", "</t>")) == "")
+  }
+
+  test("P15 removeStartTrailQuotes") {
+    assert(eval1(TextClean.removeStartTrailQuotes(lit("\"'hi'\""))) == "hi")
+  }
+
+  test("S5 extractLinks drops junk schemes and resolves relative urls") {
+    val html =
+      """<a href="/a/b">x</a><a href="javascript:void(0)">j</a>
+        |<a href="mailto:a@b.c">m</a><a href="#f">f</a>
+        |<a href="https://other.example.org/p">ok</a>""".stripMargin
+    val links = Seq(1).toDF("x")
+      .select(U.extractLinks(lit("https://www.host.com/page"), lit(html))
+        .as("l")).select(explode(col("l"))).as[String].collect().toSeq
+    assert(links == Seq("https://www.host.com/a/b",
+      "https://other.example.org/p"))
+  }
+
+  test("F1 empty whitelist keeps everything (reference returns input)") {
+    assert(eval1(U.retainValid(lit("x"), Seq()).cast("string")) == "true")
+    assert(eval1(U.retainValid(lit("https://a.com/news/1"),
+      Seq("/news/")).cast("string")) == "true")
+    assert(eval1(U.retainValid(lit("short"),
+      Seq("s")).cast("string")) == "false") // length ≤ 9
+  }
+
+  test("P6 date cascade: first pattern wins; F9 rejects future dates") {
+    val html = "<div data-date=\"2021-03-05\">" +
+      "<span data-article-date='2020-01-01'></span>"
+    val got = eval1(DateExtract.publishedDate(
+      concat(lit(html), lit("")), lit("2021-12-31").cast("date")))
+    assert(got == "2021-03-05")
+    // future date in the first pattern → falls through to the second
+    val future = "<div data-date=\"2031-03-05\">" +
+      "<span data-article-date='2020-01-01'></span>"
+    val got2 = eval1(DateExtract.publishedDate(
+      concat(lit(future), lit("")), lit("2021-12-31").cast("date")))
+    assert(got2 == "2020-01-01")
+    // strptime %a %d %b %Y %H:%M:%S %z form
+    val meta = "<meta name=\"created-date\" content=\"Thu, 23 Jan 2020 11:00:00 +0530\" />"
+    val got3 = eval1(DateExtract.publishedDate(
+      concat(lit(meta), lit("")), lit("2021-12-31").cast("date")))
+    assert(got3 == "2020-01-23")
+  }
+}
