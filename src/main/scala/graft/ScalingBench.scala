@@ -24,7 +24,7 @@ object ScalingBench {
 
   private val FrontierN = sys.env.getOrElse("GRAFT_BENCH_FRONTIER", "8000000").toLong
   private val SeenN = sys.env.getOrElse("GRAFT_BENCH_SEEN", "4000000").toLong
-  private val PagesN = sys.env.getOrElse("GRAFT_BENCH_PAGES", "200000").toLong
+  private val PagesN = sys.env.getOrElse("GRAFT_BENCH_PAGES", "1000000").toLong
   private val Hosts = 2000
   private val HotHosts = 3
 
@@ -32,7 +32,7 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -83,12 +83,12 @@ object ScalingBench {
           cfg.bloomShards, SeenN / 4, cfg.bloomFpp))).count()
 
       // measured: bloom build + schedule + dedupe over the full frontier;
-      // two repetitions, keep the faster (JIT noise)
+      // three repetitions, keep the fastest (JIT + host noise)
       val frontier = benchFrontier(spark, FrontierN, cores)
       val seen = benchSeen(spark, SeenN)
       var best = Double.MaxValue
       var scheduled = 0L
-      (1 to 2).foreach { _ =>
+      (1 to 4).foreach { _ =>
         val t0 = System.nanoTime()
         val blooms = SeenSet.buildShardedBloom(seen, "url", cfg.bloomShards,
           SeenN, cfg.bloomFpp)
@@ -103,8 +103,8 @@ object ScalingBench {
       val waveRoot = Files.createTempDirectory(s"bench-wave-$cores").toString
       val pages = SyntheticPages.pages(spark, PagesN, Hosts, HotHosts)
       val engine = new CrawlEngine(spark, waveRoot, pages, robots,
-        cfg.copy(topKPerHost = 20, waveSeconds = 200))
-      engine.init(SyntheticPages.seeds(spark, 20000, Hosts, HotHosts))
+        cfg.copy(topKPerHost = 100, waveSeconds = 1000))
+      engine.init(SyntheticPages.seeds(spark, 200000, Hosts, HotHosts))
       val t1 = System.nanoTime()
       val stats = engine.runWave()
       val waveSecs = (System.nanoTime() - t1) / 1e9

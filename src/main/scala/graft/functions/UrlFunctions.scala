@@ -115,6 +115,19 @@ object UrlFunctions {
         isValidUrl(l))
   }
 
+  /** S1 RSS item-link pattern (base_plugin.py:708-773: per <channel>
+    * <item>, the first <link> content; lxml-xml unwraps CDATA, so the
+    * pattern accepts both plain and CDATA-wrapped links).
+    */
+  val rssLinkPattern: String =
+    "(?s)<item>.*?<link\\s*>\\s*(?:<!\\[CDATA\\[)?([^<\\]]*)"
+
+  /** S1: all item links of a feed XML, normalized (P1 lowercase). */
+  def rssLinks(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit(rssLinkPattern), lit(1)),
+      l => lower(trim(l)))
+
   /** F4 has_noncont_url (base_plugin.py:550-562): true if url has the
     * same (host, path) as any row of `nonContent(url)` — query params
     * ignored. Implemented as a left-anti join returning the KEPT rows.

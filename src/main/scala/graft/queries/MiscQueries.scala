@@ -58,10 +58,7 @@ object MiscQueries {
           lit("</link></item>"))))),
         lit("</channel></rss>")).as("xml"))
     feeds.select(col("source"),
-        explode(expr(
-          "regexp_extract_all(xml, '(?s)<item>.*?<link\\\\s*>([^<]*)</link>', 1)"))
-          .as("raw_link"))
-      .select(col("source"), lower(col("raw_link")).as("url"))
+        explode(graft.functions.UrlFunctions.rssLinks(col("xml"))).as("url"))
       .orderBy("source", "url")
   }
 

@@ -181,10 +181,13 @@ final class CrawlEngine(spark: SparkSession, val root: String,
       scheduled).persist(StorageLevel.MEMORY_AND_DISK)
     val nextFrontier = frontierRest.unionByName(newLinks)
 
+    // one aggregation action instead of four counts
+    val statusCounts = newSeen.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val stats = WaveStats(waveId,
-      scheduled = scheduled.count(),
-      fetched = fetched.count(),
-      failed = failed.count(),
+      scheduled = statusCounts.values.sum,
+      fetched = statusCounts.getOrElse("completed", 0L),
+      failed = statusCounts.getOrElse("failed", 0L),
       newLinks = newLinks.count())
     val counters = Map(
       "scheduled" -> stats.scheduled, "fetched" -> stats.fetched,
