@@ -200,7 +200,95 @@ object DedupQueries {
       |  AND doc_id NOT IN (SELECT doc_id FROM near)
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q_dedup_reference — the faithful J4 dedupe join
+    * (mod_dedupe.py:95-257): candidate pairs must share pubdate, differ
+    * in module, and differ ≤15% in text size (cheap predicates FIRST,
+    * exactly like the reference's pair loop), then token-count-vector
+    * cosine ≥ 0.99 confirms; the smaller text (tie: larger doc_id) is
+    * the removal victim (mod_dedupe.py:231-237 keeps the larger).
+    */
+  private def referenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).select(
+      col("doc_id"), col("text"),
+      when(col("doc_id") >= 100000, concat(col("source"), lit("_alt")))
+        .otherwise(col("source")).as("module"),
+      date_add(lit("2020-01-01").cast("date"),
+        ((col("doc_id") % 100000) % 30).cast("int")).as("pubdate"),
+      length(col("text")).cast("long").as("textSize"))
+    val a = c.select(col("doc_id").as("id_a"), col("module").as("mod_a"),
+      col("pubdate"), col("textSize").as("size_a"), col("text").as("text_a"))
+    val b = c.select(col("doc_id").as("id_b"), col("module").as("mod_b"),
+      col("pubdate"), col("textSize").as("size_b"), col("text").as("text_b"))
+    val candidates = a.join(b, Seq("pubdate"))
+      .filter(col("id_a") < col("id_b") && col("mod_a") =!= col("mod_b") &&
+        abs(col("size_a") - col("size_b")) <=
+          greatest(col("size_a"), col("size_b")) * 0.15)
+    // token-count-vector cosine via word explode on the candidate pairs
+    val counts = c.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val norms = counts.groupBy("doc_id")
+      .agg(sum(col("n") * col("n")).as("sq"))
+    val dots = candidates.select("id_a", "id_b")
+      .join(counts.select(col("doc_id").as("id_a"), col("w"),
+        col("n").as("na")), "id_a")
+      .join(counts.select(col("doc_id").as("id_b"), col("w"),
+        col("n").as("nb")), Seq("id_b", "w"))
+      .groupBy("id_a", "id_b").agg(sum(col("na") * col("nb")).as("dot"))
+    val scored = candidates.join(dots, Seq("id_a", "id_b"))
+      .join(norms.select(col("doc_id").as("id_a"), col("sq").as("sqa")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("sq").as("sqb")), "id_b")
+      .withColumn("cos", round(col("dot") /
+        (sqrt(col("sqa").cast("double")) * sqrt(col("sqb").cast("double"))), 6))
+      .filter(col("cos") >= 0.99)
+    scored.select(col("pubdate"),
+        when(col("size_a") < col("size_b"), col("id_a"))
+          .otherwise(col("id_b")).as("removed"),
+        when(col("size_a") < col("size_b"), col("id_b"))
+          .otherwise(col("id_a")).as("kept"),
+        col("cos"))
+      .orderBy("removed", "kept")
+  }
+
+  private val referenceDedupSql = withCtes("" +
+    """,
+      |meta AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id >= 100000 THEN concat(source, '_alt') ELSE source END AS module,
+      |    (DATE '2020-01-01' + INTERVAL ((doc_id % 100000) % 30) DAY)::DATE AS pubdate,
+      |    CAST(length(text) AS BIGINT) AS textSize
+      |  FROM corpus),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pubdate,
+      |    a.textSize AS size_a, b.textSize AS size_b
+      |  FROM meta a JOIN meta b ON a.pubdate = b.pubdate
+      |    AND a.doc_id < b.doc_id AND a.module <> b.module
+      |    AND abs(a.textSize - b.textSize) <= greatest(a.textSize, b.textSize) * 0.15),
+      |counts AS (
+      |  SELECT doc_id, w, count(*) AS n FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+      |  GROUP BY doc_id, w),
+      |norms AS (SELECT doc_id, CAST(sum(n * n) AS BIGINT) AS sq FROM counts GROUP BY doc_id),
+      |dots AS (
+      |  SELECT cand.id_a, cand.id_b, CAST(sum(ca.n * cb.n) AS BIGINT) AS dot
+      |  FROM cand
+      |  JOIN counts ca ON ca.doc_id = cand.id_a
+      |  JOIN counts cb ON cb.doc_id = cand.id_b AND cb.w = ca.w
+      |  GROUP BY cand.id_a, cand.id_b)""".stripMargin,
+    """SELECT pubdate,
+      |  CASE WHEN size_a < size_b THEN id_a ELSE id_b END AS removed,
+      |  CASE WHEN size_a < size_b THEN id_b ELSE id_a END AS kept,
+      |  cos
+      |FROM (
+      |  SELECT cand.*, round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cos
+      |  FROM cand JOIN dots USING (id_a, id_b)
+      |  JOIN norms na ON na.doc_id = id_a
+      |  JOIN norms nb ON nb.doc_id = id_b)
+      |WHERE cos >= 0.99
+      |ORDER BY removed, kept""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_jaccard", jaccard, Some(jaccardSql)),

@@ -161,7 +161,66 @@ object VectorQueries {
       |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q_vector_ivf — IVF-style ANN: coarse quantizer = the first 8
+    * vectors as centroids (deterministic stand-in for trained k-means);
+    * every vector is assigned to its max-cosine centroid; queries probe
+    * ONLY their own cell (nprobe=1) and rank within it. The 10^9-scale
+    * path: assignment is a broadcast cross of N×K, search is a join on
+    * the cell id — no N×N work.
+    */
+  private def ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosine(col("cv"), col("embedding")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell"))
+    val pairs = assigned.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfSql = {
+    val cos = (a: String, b: String) =>
+      s"""round(list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+         |  (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+         |   sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("c.cv", "e.embedding")} DESC, c.cent_id) AS arn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
+       |      FROM assigned WHERE vec_id % 100 = 0)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cos("q.qv", "a.embedding")} DESC, a.vec_id) AS rank
+       |  FROM assigned a JOIN q USING (cell)
+       |  WHERE a.vec_id <> q.query_id)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vector_ivf", ivf, Some(ivfSql)),
     QueryDef("q_vector_topk", topk, Some(topkSql)),
     QueryDef("q_vector_lsh", lsh, Some(lshSql)),
     QueryDef("q_vector_norms", norms, Some(normsSql)),
