@@ -189,9 +189,13 @@ final class CrawlEngine(spark: SparkSession, val root: String,
       fetched = statusCounts.getOrElse("completed", 0L),
       failed = statusCounts.getOrElse("failed", 0L),
       newLinks = newLinks.count())
+    // per-partition fetch counters (north rule): scheduled rows per
+    // hostHash partition, committed with the snapshot
+    val perPartition = scheduled.groupBy(col("hostHash")).count()
+      .collect().map(r => s"part_${r.getInt(0)}" -> r.getLong(1)).toMap
     val counters = Map(
       "scheduled" -> stats.scheduled, "fetched" -> stats.fetched,
-      "failed" -> stats.failed, "newLinks" -> stats.newLinks)
+      "failed" -> stats.failed, "newLinks" -> stats.newLinks) ++ perPartition
 
     // idempotent per-table commits (skip tables already at this wave)
     if (seenT.latest.forall(_.waveId < waveId))
