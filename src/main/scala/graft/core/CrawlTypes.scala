@@ -90,8 +90,21 @@ final case class SchedulerConfig(
     saltBuckets: Int = 16,
     bloomShards: Int = 32,
     bloomFpp: Double = 0.01,
+    /** Fixed sharded-bloom capacity (total expected seen URLs over the
+      * crawl's lifetime). Fixed — not per-wave — so per-wave shard blooms
+      * are bit-compatible and merge incrementally (O(bloom bits) per wave
+      * instead of an O(|seen|) rebuild). Size for the target frontier:
+      * at 10^10 urls / 1024 shards / fpp 0.01 each shard is ~11 MB.
+      */
+    bloomExpectedTotal: Long = 4L * 1024 * 1024,
     maxLinksPerPage: Int = 500,
-    maxFrontierDepth: Int = 4)
+    maxFrontierDepth: Int = 4,
+    /** Rewrite (compact) the append-only frontier every N waves; between
+      * compactions a wave's frontier IO is O(newly discovered links), not
+      * O(|frontier|) — the difference between feasible and infeasible at a
+      * 10^10-URL frontier.
+      */
+    compactFrontierEveryWaves: Int = 8)
 
 /** Per-partition counters committed with each snapshot (north rule:
   * "per-partition fetch counters"; reference analog A5,

@@ -85,6 +85,52 @@ object Scheduler {
       .drop("_rn")
   }
 
+  /** Typed per-host budget enforcement (north rule: "per-host politeness
+    * budgets ... enforced via mapGroups over host keys"): group by host
+    * key, emit the budgeted top-K in (priority, seq) order with a bounded
+    * heap — O(rows · log K) per group, never materializing a hot host's
+    * full row list. Semantically identical to [[topKPerHost]] (asserted
+    * in CrawlWaveSpec); the window form is the default because Catalyst
+    * can push its rank limit into the shuffle (WindowGroupLimit), but the
+    * typed form is the natural home for richer stateful admission logic
+    * (e.g. carrying per-host crawl-delay debt across waves).
+    */
+  def topKPerHostTyped(frontier: DataFrame, waveId: Long,
+                       cfg: SchedulerConfig): DataFrame = {
+    import org.apache.spark.sql.Row
+    val withBudget = frontier.withColumn("_budget",
+      hostBudget(col("host"), waveId, cfg))
+    val schema = withBudget.schema
+    val out = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == "_budget") :+
+        org.apache.spark.sql.types.StructField("scheduleRank",
+          org.apache.spark.sql.types.IntegerType))
+    val pIdx = schema.fieldIndex("priority")
+    val sIdx = schema.fieldIndex("seq")
+    val bIdx = schema.fieldIndex("_budget")
+    implicit val rowEnc = org.apache.spark.sql.Encoders.row(out)
+    val ord = Ordering.by[Row, (Int, Long)](r =>
+      (r.getInt(pIdx), r.getLong(sIdx)))
+    withBudget
+      .groupByKey(r => r.getString(schema.fieldIndex("host")))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_: String, rows: Iterator[Row]) =>
+        var budget = -1
+        // bounded max-heap of the K smallest (priority, seq) rows
+        val heap = new scala.collection.mutable.PriorityQueue[Row]()(ord)
+        rows.foreach { r =>
+          if (budget < 0) budget = r.getInt(bIdx)
+          if (budget > 0) {
+            if (heap.size < budget) heap.enqueue(r)
+            else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+          }
+        }
+        val kept: Seq[Row] = heap.dequeueAll[Row].reverse
+        Iterator.tabulate(kept.size)(i =>
+          Row.fromSeq(kept(i).toSeq.patch(bIdx, Nil, 1) :+ (i + 1)))
+      }
+  }
+
   /** Full wave scheduling: first-seen URL dedupe (P14) → seen-set
     * anti-join (J1, bloom-pruned) → robots gate → per-host budgeted
     * top-K. Returns the scheduled set with its total crawl order.

@@ -33,8 +33,11 @@ object SeenSet {
   }
 
   /** Build one Bloom filter per shard, distributed: partial blooms are
-    * built per partition and merged (associative, order-free →
-    * deterministic result regardless of parallelism).
+    * created INSIDE each partition (nothing shipped in the task closure —
+    * a broadcast zero would serialize shards × capacity bits into every
+    * task binary) and merged with a tree reduction (associative,
+    * order-free → deterministic result regardless of parallelism).
+    * Empty input yields empty shards of the same capacity.
     */
   def buildShardedBloom(seen: DataFrame, urlCol: String, shards: Int,
                         expectedTotal: Long, fpp: Double): Array[Array[Byte]] = {
@@ -42,20 +45,42 @@ object SeenSet {
     import spark.implicits._
     val perShard = math.max(expectedTotal / math.max(shards, 1), 1024L)
     val urls = seen.select(col(urlCol)).as[String]
-    val zero = Array.fill(shards)(BloomFilter.create(perShard, fpp))
-    val merged = urls.rdd.treeAggregate(zero)(
-      seqOp = (acc, url) => {
-        acc(shardOf(url, shards)).putString(url); acc
-      },
-      combOp = (a, b) => {
-        var i = 0
-        while (i < shards) { a(i).mergeInPlace(b(i)); i += 1 }
-        a
-      })
-    merged.map { bf =>
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
+    val partials = urls.rdd.mapPartitions { iter =>
+      if (iter.isEmpty) Iterator.empty
+      else {
+        val acc = Array.fill(shards)(BloomFilter.create(perShard, fpp))
+        iter.foreach(url => acc(shardOf(url, shards)).putString(url))
+        Iterator.single(acc.map(toBytes))
+      }
+    }
+    if (partials.isEmpty())
+      Array.fill(shards)(toBytes(BloomFilter.create(perShard, fpp)))
+    else partials.treeReduce(mergeSharded, depth = 2)
+  }
+
+  /** Serialize one bloom. */
+  private def toBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Merge two serialized sharded blooms built with the SAME
+    * (perShardCapacity, fpp) — bitwise OR, associative and commutative,
+    * so incremental per-wave merging is order-free and deterministic.
+    * This is the scale path: per wave we build a bloom over the WAVE's
+    * new seen urls only and OR it into the persisted filter —
+    * O(wave delta + bloom bits), never an O(|seen|) rebuild.
+    */
+  def mergeSharded(a: Array[Array[Byte]],
+                   b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    require(a.length == b.length,
+      s"shard count mismatch: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (ab, bb) =>
+      val af = BloomFilter.readFrom(new java.io.ByteArrayInputStream(ab))
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bb))
+      af.mergeInPlace(bf)
+      toBytes(af)
     }
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.core.SchedulerConfig
 import graft.functions.{HtmlExtract, TextClean, UrlFunctions => U}
 import graft.operators.{Scheduler, SeenSet}
-import graft.plans.SnapshotTable
+import graft.plans.{BloomStore, SnapshotTable}
 
 /** One crawl wave = one driver-orchestrated micro-batch (SURVEY.md §2.9,
   * §3): dequeue top-K per host under the politeness budget → fetch-join
@@ -56,6 +56,7 @@ final class CrawlEngine(spark: SparkSession, val root: String,
   val frontierT = new SnapshotTable(spark, s"$root/frontier")
   val seenT = new SnapshotTable(spark, s"$root/seen")
   val articlesT = new SnapshotTable(spark, s"$root/articles")
+  val bloomStore = new BloomStore(s"$root/seen_bloom")
 
   final case class WaveStats(waveId: Long, scheduled: Long, fetched: Long,
                              failed: Long, newLinks: Long)
@@ -109,8 +110,7 @@ final class CrawlEngine(spark: SparkSession, val root: String,
     * extraction → F6 filters → first-seen dedupe → J1 anti-join).
     */
   private def discoverLinks(fetched: DataFrame, waveId: Long,
-                            seen: DataFrame, frontierRest: DataFrame,
-                            scheduled: DataFrame): DataFrame = {
+                            seen: DataFrame, frontier: DataFrame): DataFrame = {
     val html = col("html").cast("string")
     val links = fetched.select(
         col("url").as("parentUrl"), col("source"),
@@ -129,10 +129,10 @@ final class CrawlEngine(spark: SparkSession, val root: String,
     val deduped = links
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
-    // drop anything already seen, already pending, or scheduled this wave
-    val known = seen.select("url")
-      .unionByName(frontierRest.select("url"))
-      .unionByName(scheduled.select("url"))
+    // drop anything already seen or already in the frontier (the frontier
+    // is append-only and scheduled rows came from it, so seen ∪ frontier
+    // covers pending + scheduled + completed)
+    val known = seen.select("url").unionByName(frontier.select("url"))
     deduped.join(known, Seq("url"), "left_anti")
       .select(col("url"), col("source"),
         U.host(col("url")).as("host"),
@@ -148,12 +148,11 @@ final class CrawlEngine(spark: SparkSession, val root: String,
     val waveId = lastCompleteWave + 1
     val frontier = frontierT.readAtWave(frontierSchema, waveId - 1)
     val seen = seenT.readAtWave(seenSchema, waveId - 1)
-    val seenCount = seen.count()
-    val blooms =
-      if (seenCount > 0)
-        Some(SeenSet.buildShardedBloom(seen, "url", cfg.bloomShards,
-          math.max(seenCount, 1024L), cfg.bloomFpp))
-      else None
+    // Incremental seen-filter: read the shards persisted by the PARENT
+    // wave (never rebuilt from the full seen set — O(bloom bits) + this
+    // wave's delta only). A missing/stale filter is still correct: the
+    // bloom prunes, the exact anti-join in Scheduler.schedule decides.
+    val blooms = bloomStore.readAtWave(waveId - 1)
 
     val scheduled = Scheduler
       .schedule(frontier, seen, robots, waveId, cfg, blooms)
@@ -175,37 +174,71 @@ final class CrawlEngine(spark: SparkSession, val root: String,
         lit(0).as("httpCode"), lit(null).cast(DateType).as("pubdate"),
         lit(0L).as("rawsize"), lit(0L).as("datasize")))
 
-    val frontierRest = frontier
-      .join(scheduled.select("url"), Seq("url"), "left_anti")
-    val newLinks = discoverLinks(fetched, waveId, seen, frontierRest,
-      scheduled).persist(StorageLevel.MEMORY_AND_DISK)
-    val nextFrontier = frontierRest.unionByName(newLinks)
+    val newLinks = discoverLinks(fetched, waveId, seen, frontier)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one aggregation action instead of four counts
-    val statusCounts = newSeen.groupBy("status").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE aggregation action yields wave totals AND the north rule's
+    // per-partition fetch counters (driver-side constants are the
+    // Amdahl term of a wave — keep them to two jobs: this + newLinks)
+    val cells = fetchJoin
+      .groupBy(col("hostHash"), col("html").isNotNull.as("ok")).count()
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2)))
     val stats = WaveStats(waveId,
-      scheduled = statusCounts.values.sum,
-      fetched = statusCounts.getOrElse("completed", 0L),
-      failed = statusCounts.getOrElse("failed", 0L),
+      scheduled = cells.map(_._3).sum,
+      fetched = cells.filter(_._2).map(_._3).sum,
+      failed = cells.filterNot(_._2).map(_._3).sum,
       newLinks = newLinks.count())
-    // per-partition fetch counters (north rule): scheduled rows per
-    // hostHash partition, committed with the snapshot
-    val perPartition = scheduled.groupBy(col("hostHash")).count()
-      .collect().map(r => s"part_${r.getInt(0)}" -> r.getLong(1)).toMap
+    val perPartition = cells.groupBy(_._1).view
+      .map { case (p, cs) => s"part_$p" -> cs.map(_._3).sum }.toMap
     val counters = Map(
       "scheduled" -> stats.scheduled, "fetched" -> stats.fetched,
       "failed" -> stats.failed, "newLinks" -> stats.newLinks) ++ perPartition
 
+    // right-size small outputs: a wave's delta tables are often tiny
+    // relative to cfg.numPartitions — writing 32 near-empty files and
+    // tree-reducing 32 full-capacity bloom partials is pure constant
+    // cost. repartition (NOT coalesce: coalesce would collapse the
+    // upstream extraction into the same few tasks) shuffles only the
+    // small delta. (At 10^10 scale rowsPerSlot keeps this at
+    // cfg.numPartitions.)
+    def slots(rows: Long): Int = {
+      val rowsPerSlot = 250000L
+      math.max(1, math.min(cfg.numPartitions,
+        ((rows + rowsPerSlot - 1) / rowsPerSlot).toInt))
+    }
+
     // idempotent per-table commits (skip tables already at this wave)
     if (seenT.latest.forall(_.waveId < waveId))
-      seenT.commitAppend(newSeen, waveId, counters)
-    if (articlesT.latest.forall(_.waveId < waveId))
-      articlesT.commitAppend(articles, waveId, counters)
-    if (frontierT.latest.forall(_.waveId < waveId))
-      frontierT.commitReplace(
-        nextFrontier.repartition(cfg.numPartitions, col("hostHash")),
+      seenT.commitAppend(newSeen.repartition(slots(stats.scheduled)),
         waveId, counters)
+    // Seen-filter delta: bloom over THIS WAVE's new urls only, OR-ed into
+    // the parent filter (fixed capacity keeps shards bit-compatible).
+    val deltaBloom = SeenSet.buildShardedBloom(
+      newSeen.select("url").repartition(slots(stats.scheduled)), "url",
+      cfg.bloomShards, cfg.bloomExpectedTotal, cfg.bloomFpp)
+    bloomStore.write(waveId,
+      blooms.fold(deltaBloom)(SeenSet.mergeSharded(_, deltaBloom)))
+    if (articlesT.latest.forall(_.waveId < waveId))
+      articlesT.commitAppend(articles.repartition(slots(stats.fetched)),
+        waveId, counters)
+    if (frontierT.latest.forall(_.waveId < waveId)) {
+      // Append-only frontier: each wave writes only its newly discovered
+      // links — O(delta) IO, never the O(|frontier|) rewrite the
+      // reference's pending-table DELETE+INSERT implies. Consumed rows
+      // are masked by the seen anti-join at read; a periodic compaction
+      // bounds the masked fraction.
+      if (cfg.compactFrontierEveryWaves > 0 &&
+          waveId % cfg.compactFrontierEveryWaves == 0) {
+        val pending = frontier.unionByName(newLinks)
+          .join(seenT.read(seenSchema).select("url"), Seq("url"), "left_anti")
+        frontierT.commitReplace(
+          pending.repartition(cfg.numPartitions, col("hostHash")),
+          waveId, counters)
+      } else
+        frontierT.commitAppend(
+          newLinks.repartition(slots(stats.newLinks), col("hostHash")),
+          waveId, counters)
+    }
 
     scheduled.unpersist(); fetchJoin.unpersist(); newLinks.unpersist()
     stats
@@ -214,6 +247,13 @@ final class CrawlEngine(spark: SparkSession, val root: String,
   def runWaves(n: Int): Seq[WaveStats] = (1 to n).map(_ => runWave())
 
   def seenUrls(): DataFrame = seenT.read(seenSchema)
-  def frontierNow(): DataFrame = frontierT.read(frontierSchema)
+
+  /** Current PENDING frontier: the append-only table masked by the seen
+    * set (between compactions the stored table still contains consumed
+    * rows; the anti-join restores exact pending semantics).
+    */
+  def frontierNow(): DataFrame =
+    frontierT.read(frontierSchema)
+      .join(seenT.read(seenSchema).select("url"), Seq("url"), "left_anti")
   def articlesNow(): DataFrame = articlesT.read(articleSchema)
 }

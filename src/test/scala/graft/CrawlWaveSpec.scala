@@ -148,6 +148,78 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(partSum == counters("scheduled"))
   }
 
+  test("frontier is append-only between compactions, compacted on schedule") {
+    val pages = SyntheticPages.pages(spark, N)
+    val e = new CrawlEngine(spark, tempDir("crawl-compact"), pages,
+      emptyRobots, cfg(4, 4).copy(compactFrontierEveryWaves = 3))
+    e.init(SyntheticPages.seeds(spark, 40))
+    e.runWaves(3)
+    val hist = e.frontierT.history
+    // waves 1,2 append (dirs grow by exactly one); wave 3 compacts to one
+    assert(hist.find(_.waveId == 1L).get.dirs.size == 2) // seed + delta
+    assert(hist.find(_.waveId == 2L).get.dirs.size == 3)
+    assert(hist.find(_.waveId == 3L).get.dirs.size == 1, "compaction wave")
+    // after compaction the stored table IS the pending set (no masked rows)
+    val stored = e.frontierT.read(e.frontierSchema).select("url")
+    val pending = e.frontierNow().select("url")
+    assert(stored.exceptAll(pending).count() == 0)
+  }
+
+  test("compaction cadence does not change crawl state") {
+    val pages = SyntheticPages.pages(spark, N)
+    def run(every: Int): CrawlEngine = {
+      val e = new CrawlEngine(spark, tempDir(s"crawl-cad$every"), pages,
+        emptyRobots, cfg(4, 4).copy(compactFrontierEveryWaves = every))
+      e.init(SyntheticPages.seeds(spark, 40))
+      e.runWaves(4)
+      e
+    }
+    assert(stateFingerprint(run(1)) == stateFingerprint(run(8)))
+  }
+
+  test("bloom store merges incrementally with no false negatives") {
+    import spark.implicits._
+    val e = newEngine()
+    e.runWaves(3)
+    // one persisted filter per wave (snapshot lineage)
+    assert((1L to 3L).forall(w => e.bloomStore.readAtWave(w).isDefined))
+    val merged = e.bloomStore.readAtWave(3L).get
+    val missed = e.seenUrls().select("url")
+      .filter(!graft.operators.SeenSet.mightContain(spark, col("url"), merged))
+      .count()
+    assert(missed == 0, "merged filter must cover every seen url")
+    // wave-1 filter must NOT cover urls first seen in later waves
+    // (i.e. it is the delta lineage, not a full rebuild each time)
+    val w1 = e.bloomStore.readAtWave(1L).get
+    val laterMisses = e.seenUrls().select("url")
+      .filter(!graft.operators.SeenSet.mightContain(spark, col("url"), w1))
+      .count()
+    assert(laterMisses > 0, "wave-1 filter unexpectedly covers later waves")
+  }
+
+  test("typed mapGroups budget enforcement equals the window top-K") {
+    import spark.implicits._
+    import graft.operators.Scheduler
+    val c = cfg(4, 4)
+    // skewed frontier: host h0 owns most rows (hot host)
+    val frontier = spark.range(5000).select(
+      concat(lit("https://www.h"), (col("id") % 7) * (col("id") % 7) % 7,
+        lit(".com/a/"), col("id")).as("url"),
+      lit("s").as("source"),
+      concat(lit("www.h"), (col("id") % 7) * (col("id") % 7) % 7,
+        lit(".com")).as("host"),
+      lit(0).as("hostHash"),
+      (col("id") % 3).cast("int").as("priority"),
+      lit(0L).as("waveDiscovered"),
+      col("id").as("seq"),
+      lit(0).as("attempts"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "scheduleRank").as[(String, Int)].collect().toSet
+    val win = key(Scheduler.topKPerHost(frontier, 3L, c))
+    val typed = key(Scheduler.topKPerHostTyped(frontier, 3L, c))
+    assert(win.nonEmpty && win == typed)
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
