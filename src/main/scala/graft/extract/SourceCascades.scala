@@ -96,6 +96,16 @@ object SourceCascades {
   def body_text(html: Column, source: String): Column =
     ColumnBridge.column(
       SourceBodyExpr(ColumnBridge.expression(html), source))
+
+  /** Column API with PER-ROW source dispatch: the crawl wave fetches a
+    * mixed batch (many sources in one partition), so the cascade is
+    * selected row-by-row from the source column — the Spark analog of
+    * the reference's per-plugin `extractArticleBody` virtual call
+    * (base_plugin.py:1301-1392).
+    */
+  def body_text_by_source(html: Column, source: Column): Column =
+    ColumnBridge.column(SourceBodyDispatchExpr(
+      ColumnBridge.expression(html), ColumnBridge.expression(source)))
 }
 
 /** Catalyst expression dispatching to a per-source extraction cascade. */
@@ -109,4 +119,19 @@ case class SourceBodyExpr(child: Expression, source: String)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"body_text_$source"
+}
+
+/** Per-row dispatch variant: cascade chosen from the source column. */
+case class SourceBodyDispatchExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override protected def nullSafeEval(html: Any, source: Any): Any =
+    UTF8String.fromString(
+      SourceCascades.registry(source.asInstanceOf[UTF8String].toString)(
+        html.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "body_text_by_source"
 }

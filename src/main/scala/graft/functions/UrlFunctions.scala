@@ -21,10 +21,10 @@ object UrlFunctions {
   def normalizeUrl(url: Column): Column = lower(url)
 
   /** P2 getNetworkLocFromURL: network location (host[:port]) of a URL. */
-  def host(url: Column): Column = parse_url(url, lit("HOST"))
+  def host(url: Column): Column = try_parse_url(url, lit("HOST"))
 
   /** Path component (used by F4 same-url-without-query comparison). */
-  def path(url: Column): Column = parse_url(url, lit("PATH"))
+  def path(url: Column): Column = try_parse_url(url, lit("PATH"))
 
   /** P3 calculateCRC32 (scraper_utils.py:531-550): zlib.crc32 of the
     * UTF-8 bytes rendered like Python's `hex()` — lowercase, `0x` prefix,
@@ -105,7 +105,7 @@ object UrlFunctions {
   def extractLinks(pageUrl: Column, html: Column): Column = {
     val hrefs = regexp_extract_all(
       html, lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"']"), lit(1))
-    val scheme = parse_url(pageUrl, lit("PROTOCOL"))
+    val scheme = try_parse_url(pageUrl, lit("PROTOCOL"))
     val hostC = host(pageUrl)
     val resolved = transform(hrefs, l =>
       when(l.startsWith("/") && !l.startsWith("//"),

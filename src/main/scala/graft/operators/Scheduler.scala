@@ -55,7 +55,7 @@ object Scheduler {
     frontier.join(r, Seq("host"), "left")
       .filter(col("_disallow").isNull ||
         !exists(col("_disallow"), p =>
-          parse_url(col("url"), lit("PATH")).startsWith(p)))
+          try_parse_url(col("url"), lit("PATH")).startsWith(p)))
       .drop("_disallow")
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.SchedulerConfig
-import graft.functions.{HtmlExtract, TextClean, UrlFunctions => U}
+import graft.functions.{TextClean, UrlFunctions => U}
 import graft.operators.{Scheduler, SeenSet}
 import graft.plans.{BloomStore, SnapshotTable}
 
@@ -86,10 +86,15 @@ final class CrawlEngine(spark: SparkSession, val root: String,
       .map(_.latest.map(_.waveId).getOrElse(-1L)).min
 
   /** Article extraction pipeline (pure column expressions + the
-    * BlockTextExpr Catalyst expression; no UDFs). */
+    * per-source cascade Catalyst expression; no UDFs). The cascade is
+    * dispatched per row from the source column — the reference's
+    * per-plugin extractArticleBody virtual call (base_plugin.py:1301-92);
+    * unknown sources fall back to the generic div.artText block.
+    */
   private def extractArticles(fetched: DataFrame, waveId: Long): DataFrame = {
     val html = col("html").cast("string")
-    val body = HtmlExtract.block_text(html, "div", "artText")
+    val body = graft.extract.SourceCascades
+      .body_text_by_source(html, col("source"))
     fetched
       .withColumn("_body", body)
       .select(

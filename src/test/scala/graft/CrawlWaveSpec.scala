@@ -220,6 +220,39 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(win.nonEmpty && win == typed)
   }
 
+  test("wave extraction dispatches the per-source cascade (fixture parity)") {
+    import java.io.{BufferedInputStream, FileInputStream}
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = new BZip2CompressorInputStream(new BufferedInputStream(
+        new FileInputStream(s"/root/reference/test-data/$name")))
+      try in.readAllBytes() finally in.close()
+    }
+    // the reference's own fixture pages, routed by source through the wave
+    val rows = Seq(
+      ("https://www.eco.com/markets/a-73837853", "ecotimes",
+        fixture("mod_en_in_ecotimes_73837853.html.bz2"), 2914L),
+      ("https://www.toi.com/biz/a-1210", "timesofindia",
+        fixture("mod_en_in_timesofindia_0xa2097d6c.html.bz2"), 1210L),
+      ("https://www.kanoon.org/doc/49865912", "indiakanoon",
+        fixture("mod_en_in_indiakanoon_49865912.html.bz2"), 12287L))
+    val pages = rows.map { case (u, _, h, _) => (u, h) }.toDF("url", "html")
+    val seeds = rows.map { case (u, s, _, _) => (u, s) }.zipWithIndex
+      .map { case ((u, s), i) => (u, s, 0, i.toLong) }
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-fixtures"), pages,
+      emptyRobots, cfg(2, 2))
+    e.init(seeds)
+    e.runWave()
+    val sizes = e.articlesNow().select(col("module"), col("textSize"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (_, src, _, len) =>
+      assert(sizes.get(src).contains(len),
+        s"$src extracted ${sizes.get(src)}, pinned $len")
+    }
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
