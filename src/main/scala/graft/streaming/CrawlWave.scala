@@ -30,9 +30,9 @@ import graft.plans.{BloomStore, SnapshotTable}
   * at any parallelism up to the 4-level recursion cap
   * (base_plugin.py:876-951; 10^6 seeds × 1000^4 < 2^63).
   */
-final class CrawlEngine(spark: SparkSession, val root: String,
+final class CrawlEngine(val spark: SparkSession, val root: String,
                         pages: DataFrame, robots: DataFrame,
-                        cfg: SchedulerConfig) {
+                        val cfg: SchedulerConfig) {
 
   val frontierSchema: StructType = StructType(Seq(
     StructField("url", StringType), StructField("source", StringType),
@@ -159,6 +159,12 @@ final class CrawlEngine(spark: SparkSession, val root: String,
     // bloom prunes, the exact anti-join in Scheduler.schedule decides.
     val blooms = bloomStore.readAtWave(waveId - 1)
 
+    val sc = spark.sparkContext
+    def phase[T](name: String)(f: => T): T = {
+      sc.setJobDescription(s"wave-$waveId $name")
+      try f finally sc.setJobDescription(null)
+    }
+
     val scheduled = Scheduler
       .schedule(frontier, seen, robots, waveId, cfg, blooms)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -185,14 +191,14 @@ final class CrawlEngine(spark: SparkSession, val root: String,
     // ONE aggregation action yields wave totals AND the north rule's
     // per-partition fetch counters (driver-side constants are the
     // Amdahl term of a wave — keep them to two jobs: this + newLinks)
-    val cells = fetchJoin
+    val cells = phase("counters")(fetchJoin
       .groupBy(col("hostHash"), col("html").isNotNull.as("ok")).count()
-      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2)))
+      .collect()).map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2)))
     val stats = WaveStats(waveId,
       scheduled = cells.map(_._3).sum,
       fetched = cells.filter(_._2).map(_._3).sum,
       failed = cells.filterNot(_._2).map(_._3).sum,
-      newLinks = newLinks.count())
+      newLinks = phase("discover-links")(newLinks.count()))
     val perPartition = cells.groupBy(_._1).view
       .map { case (p, cs) => s"part_$p" -> cs.map(_._3).sum }.toMap
     val counters = Map(
@@ -214,18 +220,20 @@ final class CrawlEngine(spark: SparkSession, val root: String,
 
     // idempotent per-table commits (skip tables already at this wave)
     if (seenT.latest.forall(_.waveId < waveId))
-      seenT.commitAppend(newSeen.repartition(slots(stats.scheduled)),
-        waveId, counters)
+      phase("commit-seen")(
+        seenT.commitAppend(newSeen.repartition(slots(stats.scheduled)),
+          waveId, counters))
     // Seen-filter delta: bloom over THIS WAVE's new urls only, OR-ed into
     // the parent filter (fixed capacity keeps shards bit-compatible).
-    val deltaBloom = SeenSet.buildShardedBloom(
+    val deltaBloom = phase("bloom-delta")(SeenSet.buildShardedBloom(
       newSeen.select("url").repartition(slots(stats.scheduled)), "url",
-      cfg.bloomShards, cfg.bloomExpectedTotal, cfg.bloomFpp)
+      cfg.bloomShards, cfg.bloomExpectedTotal, cfg.bloomFpp))
     bloomStore.write(waveId,
       blooms.fold(deltaBloom)(SeenSet.mergeSharded(_, deltaBloom)))
     if (articlesT.latest.forall(_.waveId < waveId))
-      articlesT.commitAppend(articles.repartition(slots(stats.fetched)),
-        waveId, counters)
+      phase("commit-articles")(
+        articlesT.commitAppend(articles.repartition(slots(stats.fetched)),
+          waveId, counters))
     if (frontierT.latest.forall(_.waveId < waveId)) {
       // Append-only frontier: each wave writes only its newly discovered
       // links — O(delta) IO, never the O(|frontier|) rewrite the
@@ -236,13 +244,13 @@ final class CrawlEngine(spark: SparkSession, val root: String,
           waveId % cfg.compactFrontierEveryWaves == 0) {
         val pending = frontier.unionByName(newLinks)
           .join(seenT.read(seenSchema).select("url"), Seq("url"), "left_anti")
-        frontierT.commitReplace(
+        phase("compact-frontier")(frontierT.commitReplace(
           pending.repartition(cfg.numPartitions, col("hostHash")),
-          waveId, counters)
+          waveId, counters))
       } else
-        frontierT.commitAppend(
+        phase("commit-frontier")(frontierT.commitAppend(
           newLinks.repartition(slots(stats.newLinks), col("hostHash")),
-          waveId, counters)
+          waveId, counters))
     }
 
     scheduled.unpersist(); fetchJoin.unpersist(); newLinks.unpersist()

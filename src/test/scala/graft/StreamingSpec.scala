@@ -56,6 +56,54 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming crawl: seed stream drives waves via foreachBatch") {
+    import graft.core.SchedulerConfig
+    import graft.sources.SyntheticPages
+    import graft.streaming.{CrawlEngine, StreamingCrawl}
+    val N = 3000L
+    val pages = SyntheticPages.pages(spark, N)
+    val robots = Seq.empty[(String, Seq[String])].toDF("host", "disallowPrefixes")
+    val cfg = SchedulerConfig(topKPerHost = 5, waveSeconds = 40,
+      numPartitions = 4, saltBuckets = 4, bloomShards = 4)
+
+    // streaming run: two seed files arrive as two micro-batches; the
+    // SAME checkpoint across restarts makes seed ingestion exactly-once
+    val seedDir = tempDir("stream-seeds")
+    val ckpt = tempDir("stream-ckpt")
+    val allSeeds = SyntheticPages.seeds(spark, 40).cache()
+    allSeeds.filter(col("seq") < 20)
+      .write.parquet(s"$seedDir/b0")
+    val s = new CrawlEngine(spark, tempDir("stream-crawl"), pages, robots, cfg)
+    s.init(allSeeds.limit(0))
+    StreamingCrawl.start(s, s"$seedDir/*", ckpt).awaitTermination()
+    allSeeds.filter(col("seq") >= 20)
+      .write.parquet(s"$seedDir/b1")
+    // restart from the same checkpoint: only the NEW file is ingested
+    StreamingCrawl.start(s, s"$seedDir/*", ckpt).awaitTermination()
+    // drain remaining frontier with plain batch waves (same engine)
+    s.runWaves(2)
+
+    // exactly-once: streamed-seed counters across all frontier commits
+    // account for each seed at most once
+    val streamedSeeds = s.frontierT.history
+      .flatMap(_.counters.get("streamed_seeds")).sum
+    assert(streamedSeeds <= 40L && streamedSeeds > 0L)
+    // no url enters the seen set twice (idempotent wave commits)
+    val seenN = s.seenUrls().count()
+    assert(seenN == s.seenUrls().select("url").distinct().count())
+    // every streamed seed was crawled or remains pending, never lost
+    val handled = s.seenUrls().select("url")
+      .unionByName(s.frontierNow().select("url"))
+      .as[String].collect().toSet
+    val seedUrls = allSeeds.select(lower(col("url"))).as[String].collect().toSet
+    assert(seedUrls.subsetOf(handled))
+    // extraction stays byte-identical through the streaming path
+    val mismatch = s.articlesNow().join(pages.select(col("url"),
+        col("text").as("expected")), "url")
+      .filter(col("text") =!= col("expected")).count()
+    assert(s.articlesNow().count() > 0 && mismatch == 0)
+  }
+
   test("q_stream_hourly drains a real file-source stream") {
     val out = SparkEntry.queries("q_stream_hourly")(spark, dir)
     assert(out.count() > 0)
