@@ -271,7 +271,112 @@ object MiscQueries {
       |  UNNEST(generate_series(0, 3)) AS f(frame_idx)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q_announce_parse — S9's NSE corporate-announcement file parser
+    * (mod_in_nse.py:420-488): each record is one `key : value` line; the
+    * key regex yields (entity, symbol); a following line WITHOUT a ':'
+    * is a continuation appended to the record; the first (header) line
+    * and records containing any exclusion phrase are skipped; the
+    * article id is the symbol truncated to 10 chars. The announcement
+    * "file" is synthesized deterministically from `documents` (same
+    * formulas in the oracle). The lead() window is a global order — the
+    * reference reads ONE small per-day file sequentially, so this stays
+    * a single task by design.
+    */
+  private val announcePat =
+    "([a-zA-Z0-9\\(\\)¿ \\-.^:]{3,})([ ]+[a-zA-Z0-9\\-]{2,})([ ]+:)"
+
+  private def announceParse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    val cleanTxt = regexp_replace(col("text"), "[:\\r\\n]", " ")
+    val record = d.select(
+      (col("doc_id") * 2).as("idx"),
+      concat(lit("Company "), col("doc_id").cast("string"),
+        lit(" SYM"), col("doc_id").cast("string"), lit("  :"),
+        when(col("doc_id") % 11 === 5,
+          lit(" Suspension of Trading in units pending clarification"))
+          .otherwise(concat(lit(" "), substring(cleanTxt, 1, 40))))
+        .as("line"))
+    val cont = d.filter(col("doc_id") % 13 === 3).select(
+      (col("doc_id") * 2 + 1).as("idx"),
+      concat(lit("continued "), substring(cleanTxt, 41, 20)).as("line"))
+    val header = s.range(1).select(
+      lit(-1L).as("idx"), lit("NSE EQUITY ANNOUNCEMENTS").as("line"))
+    val lines = record.unionByName(cont).unionByName(header)
+
+    val w = Window.orderBy(col("idx"))
+    val exclusions = Seq("declaration of nav ", "recommended final dividend",
+      "about investor presentation", "that the record date has been fixed on",
+      "the maturity date of the scheme is", "suspension of trading",
+      "postal ballot")
+    lines
+      .withColumn("next", lead(col("line"), 1).over(w))
+      .filter(col("idx") >= 0 && instr(col("line"), ":") > 0 &&
+        exclusions.map(p => !lower(col("line")).contains(p)).reduce(_ && _))
+      .withColumn("prefix",
+        substring(col("line"), lit(1), instr(col("line"), ":")))
+      .withColumn("content0",
+        expr("substring(line, instr(line, ':') + 1)"))
+      .withColumn("content",
+        when(col("next").isNotNull && instr(col("next"), ":") === 0,
+          concat(col("content0"), lit(" "), col("next")))
+          .otherwise(col("content0")))
+      .withColumn("entity", regexp_extract(col("prefix"), announcePat, 1))
+      .withColumn("symbol",
+        trim(regexp_extract(col("prefix"), announcePat, 2)))
+      .filter(col("entity") =!= "")
+      .select(col("idx"),
+        concat(lit("NSE Announcement for "), trim(col("entity"))).as("title"),
+        substring(col("symbol"), 1, 10).as("article_id"),
+        col("content"))
+      .orderBy("idx")
+  }
+
+  private val announceParseSql = {
+    val pat = "([a-zA-Z0-9\\(\\)¿ \\-.^:]{3,})([ ]+[a-zA-Z0-9\\-]{2,})([ ]+:)"
+    val excl = Seq("declaration of nav ", "recommended final dividend",
+      "about investor presentation", "that the record date has been fixed on",
+      "the maturity date of the scheme is", "suspension of trading",
+      "postal ballot")
+      .map(p => s"lower(line) NOT LIKE '%$p%'").mkString(" AND ")
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_replace(text, '[:\r\n]', ' ', 'g') AS ctext FROM documents),
+       |rec AS (
+       |  SELECT doc_id * 2 AS idx,
+       |    concat('Company ', CAST(doc_id AS VARCHAR), ' SYM',
+       |      CAST(doc_id AS VARCHAR), '  :',
+       |      CASE WHEN doc_id % 11 = 5
+       |        THEN ' Suspension of Trading in units pending clarification'
+       |        ELSE concat(' ', substr(ctext, 1, 40)) END) AS line
+       |  FROM d),
+       |cont AS (
+       |  SELECT doc_id * 2 + 1 AS idx,
+       |    concat('continued ', substr(ctext, 41, 20)) AS line
+       |  FROM d WHERE doc_id % 13 = 3),
+       |lines AS (SELECT * FROM rec UNION ALL SELECT * FROM cont
+       |  UNION ALL SELECT -1 AS idx, 'NSE EQUITY ANNOUNCEMENTS' AS line),
+       |seq AS (SELECT idx, line, lead(line) OVER (ORDER BY idx) AS next
+       |  FROM lines),
+       |parsed AS (
+       |  SELECT idx,
+       |    substr(line, 1, strpos(line, ':')) AS prefix,
+       |    CASE WHEN next IS NOT NULL AND strpos(next, ':') = 0
+       |      THEN concat(substr(line, strpos(line, ':') + 1), ' ', next)
+       |      ELSE substr(line, strpos(line, ':') + 1) END AS content
+       |  FROM seq
+       |  WHERE idx >= 0 AND strpos(line, ':') > 0 AND $excl)
+       |SELECT idx,
+       |  concat('NSE Announcement for ',
+       |    trim(regexp_extract(prefix, '$pat', 1))) AS title,
+       |  substr(trim(regexp_extract(prefix, '$pat', 2)), 1, 10) AS article_id,
+       |  content
+       |FROM parsed
+       |WHERE regexp_extract(prefix, '$pat', 1) <> ''
+       |ORDER BY idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_announce_parse", announceParse, Some(announceParseSql)),
     QueryDef("q_keyword_flags", keywordFlags, Some(keywordFlagsSql)),
     QueryDef("q_rss_scan", rssScan, Some(rssScanSql)),
     QueryDef("q_archive_dates", archiveDates, Some(archiveDatesSql)),
