@@ -57,6 +57,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   val seenT = new SnapshotTable(spark, s"$root/seen")
   val articlesT = new SnapshotTable(spark, s"$root/articles")
   val bloomStore = new BloomStore(s"$root/seen_bloom")
+  val tombstonesT = new SnapshotTable(spark, s"$root/tombstones")
 
   final case class WaveStats(waveId: Long, scheduled: Long, fetched: Long,
                              failed: Long, newLinks: Long)
@@ -258,6 +259,29 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   }
 
   def runWaves(n: Int): Seq[WaveStats] = (1 to n).map(_ => runWave())
+
+  /** Dedupe post-processor (J4, mod_dedupe.py:95-257): tombstone
+    * near-duplicate articles (same pubdate, different module, ≤15% size
+    * gap, token-cosine ≥ threshold; smaller text loses) and rewrite the
+    * articles table without the victims — the reference's
+    * `deleted_duplicates` bookkeeping (session_hist.py:118-125). Returns
+    * the number of tombstoned articles.
+    */
+  def dedupeArticles(threshold: Double = 0.99): Long = {
+    val wave = lastCompleteWave
+    val arts = articlesT.read(articleSchema)
+    val tomb = graft.operators.DedupeArticles.tombstones(arts, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = tomb.count()
+    if (n > 0) {
+      tombstonesT.commitAppend(tomb, wave, Map("tombstoned" -> n))
+      articlesT.commitReplace(
+        graft.operators.DedupeArticles.survivors(arts, tomb), wave,
+        Map("tombstoned" -> n))
+    }
+    tomb.unpersist()
+    n
+  }
 
   def seenUrls(): DataFrame = seenT.read(seenSchema)
 

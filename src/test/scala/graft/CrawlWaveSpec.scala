@@ -253,6 +253,40 @@ class CrawlWaveSpec extends SparkTestBase {
     }
   }
 
+  test("dedupe post-processor tombstones the smaller near-duplicate") {
+    import spark.implicits._
+    // two sources publish near-identical bodies on the same date; a third
+    // article is unrelated. The generic cascade extracts div.artText.
+    def page(body: String) =
+      s"""<html><head><title>t</title></head><body data-date="2021-03-05">
+         |<div class="artText">$body</div></body></html>""".stripMargin
+    val common = (1 to 60).map(i => s"word$i").mkString(" ")
+    val pages = Seq(
+      ("https://www.a.com/x/1", page(common + " tail one")),
+      ("https://www.b.com/y/2", page(common + " tail one extra longer")),
+      ("https://www.c.com/z/3", page((1 to 60).map(i => s"other$i")
+        .mkString(" "))))
+      .toDF("url", "html")
+      .select(col("url"), encode(col("html"), "UTF-8").as("html"))
+    val seeds = Seq(
+      ("https://www.a.com/x/1", "srcA", 0, 1L),
+      ("https://www.b.com/y/2", "srcB", 0, 2L),
+      ("https://www.c.com/z/3", "srcC", 0, 3L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-dedupe"), pages,
+      emptyRobots, cfg(2, 2))
+    e.init(seeds)
+    e.runWave()
+    assert(e.articlesNow().count() == 3)
+    val n = e.dedupeArticles(threshold = 0.90)
+    assert(n == 1, s"expected one tombstone, got $n")
+    val left = e.articlesNow().select("url").as[String].collect().toSet
+    // the SHORTER of the near-dup pair (site a) loses; c is untouched
+    assert(left == Set("https://www.b.com/y/2", "https://www.c.com/z/3"))
+    val tomb = e.tombstonesT.latest.get
+    assert(tomb.counters("tombstoned") == 1L)
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
