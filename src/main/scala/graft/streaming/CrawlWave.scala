@@ -260,6 +260,22 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
 
   def runWaves(n: Int): Seq[WaveStats] = (1 to n).map(_ => runWave())
 
+  /** Data-processor chain (W1 order: dataprep → keyword flags →
+    * eventclass; worker.py:487-528): enrich every article in one pass
+    * and commit the widened table (readers projecting the base
+    * [[articleSchema]] are unaffected — parquet column projection).
+    */
+  def postProcessArticles(): Long = {
+    val wave = lastCompleteWave
+    val arts = articlesT.read(articleSchema)
+    val enriched = graft.operators.PostProcess.enrich(arts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = enriched.count()
+    articlesT.commitReplace(enriched, wave, Map("enriched" -> n))
+    enriched.unpersist()
+    n
+  }
+
   /** Dedupe post-processor (J4, mod_dedupe.py:95-257): tombstone
     * near-duplicate articles (same pubdate, different module, ≤15% size
     * gap, token-cosine ≥ threshold; smaller text loses) and rewrite the

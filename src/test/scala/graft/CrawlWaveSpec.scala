@@ -287,6 +287,32 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(tomb.counters("tombstoned") == 1L)
   }
 
+  test("post-process chain enriches articles in W1 order") {
+    import spark.implicits._
+    val e = newEngine()
+    e.runWave()
+    val n = e.postProcessArticles()
+    assert(n == e.articlesNow().count() && n > 0)
+    // widened table readable; base schema projection still works
+    val enriched = spark.read.parquet(
+      e.articlesT.latest.get.dirs.map(d => s"${e.root}/articles/data/$d"): _*)
+    assert(enriched.columns.contains("triggerwords"))
+    assert(enriched.columns.contains("classification"))
+    // dataprep ran first: text is trimmed
+    val untrimmed = enriched.filter(col("text") =!= trim(col("text"))).count()
+    assert(untrimmed == 0)
+    // classification matches the sentence-stub model for one sampled row
+    val row = enriched.select(col("text"),
+        col("classification.positive")).as[(String, Double)].head()
+    val model = row._1.split("\\. ").filter(_.nonEmpty)
+      .map(s => (s.length % 10).toDouble / 10.0).sum
+    assert(math.abs(row._2 - model) < 1e-4) // column rounds to 4 decimals
+    // 19 trigger-word flags per article
+    val flagN = enriched.select(size(map_keys(col("triggerwords"))))
+      .as[Int].head()
+    assert(flagN == graft.functions.KeywordFlags.flagRegexes.size)
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
