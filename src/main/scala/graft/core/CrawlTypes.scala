@@ -86,7 +86,11 @@ final case class SchedulerConfig(
     politenessRandMinSecs: Int = 2,
     politenessRandMaxSecs: Int = 5,
     numPartitions: Int = 32,
-    hotHostThreshold: Long = 100000L,
+    /** Salt buckets for the two-phase per-host top-K: salting is applied
+      * UNCONDITIONALLY (phase 1 bounds every (host, salt) bucket), which
+      * subsumes a hot-host detection threshold — cold hosts pay one extra
+      * narrow window, hot hosts can never serialize into one task.
+      */
     saltBuckets: Int = 16,
     bloomShards: Int = 32,
     bloomFpp: Double = 0.01,
@@ -98,6 +102,10 @@ final case class SchedulerConfig(
       */
     bloomExpectedTotal: Long = 4L * 1024 * 1024,
     maxLinksPerPage: Int = 500,
+    /** BFS recursion cap (base_plugin.py:876-951 stops link expansion at
+      * depth ≤ 4): waves beyond this depth drain pending URLs but
+      * discover no new links (enforced in CrawlEngine.runWave).
+      */
     maxFrontierDepth: Int = 4,
     /** Rewrite (compact) the append-only frontier every N waves; between
       * compactions a wave's frontier IO is O(newly discovered links), not

@@ -10,39 +10,63 @@ import org.apache.spark.sql.functions._
   * mod_dedupe.py:218-237); the expensive confirmation is a deterministic
   * token-count-vector cosine ≥ threshold (stand-in for the reference's
   * spaCy similarity, mod_dedupe.py:244-257, which it ships disabled by
-  * default). The SMALLER text is the victim (the reference keeps the
-  * larger, mod_dedupe.py:231-237); ties break to the larger uniqueId so
-  * the decision is total.
+  * default). Docs at or below `minTextSize` are excluded from comparison
+  * entirely — the reference's computeTextEmbeddingDoc returns None below
+  * minAcceptableTextLength (mod_dedupe.py:239-243), so tiny docs are
+  * never candidates. The SMALLER text is the victim (the reference keeps
+  * the larger, mod_dedupe.py:231-237); ties break to the larger uniqueId
+  * so the decision is total.
   *
-  * Scale shape: the pair space is bounded by the pubdate equi-join (a
-  * day's articles, not the corpus) and the cheap θ-predicates; the
-  * cosine runs only on surviving candidate pairs via a shared-token
-  * equi-join — never a cross join.
+  * Scale shape: candidates come from a (pubdate, sizeBucket) equi-join —
+  * buckets are geometric with ratio 1/0.85, so the ≤15%-size-gap
+  * predicate can only pair docs in the same or adjacent buckets; one
+  * side emits its bucket ±1 and the join stays an equi-join. A day's
+  * pair space is then Σ_bucket |bucket|² instead of |day|² — bounded
+  * candidate generation, never a per-day cross join. The cosine runs
+  * only on surviving candidate pairs via a shared-token equi-join.
   */
 object DedupeArticles {
 
-  /** Victim rows (url, uniqueId, module, pubdate, cos, keptUrl) — the
-    * reference's `deleted_duplicates` tombstones (session_hist.py:118-125).
+  /** Geometric size bucket: floor(ln size / ln(1/0.85)). Two sizes
+    * within the 15%-of-max gap differ by at most one bucket.
     */
-  def tombstones(articles: DataFrame, threshold: Double = 0.99): DataFrame = {
+  private def sizeBucket(size: org.apache.spark.sql.Column) =
+    floor(log(size.cast("double")) / math.log(1.0 / 0.85)).cast("int")
+
+  /** Victim rows (pubdate, url, keptUrl, cos) — the reference's
+    * `deleted_duplicates` tombstones (session_hist.py:118-125). When one
+    * victim URL matches several pairs the lexicographically smallest
+    * (keptUrl, cos, pubdate) row is kept — deterministic at any
+    * parallelism (the tombstones table is committed to a snapshot, so a
+    * nondeterministic pick would break resume equality).
+    */
+  def tombstones(articles: DataFrame, threshold: Double = 0.99,
+                 minTextSize: Long = 30L): DataFrame = {
     val base = articles.select(
       col("url"), col("uniqueId"), col("module"), col("pubdate"),
       col("text"), col("textSize"))
-      .filter(col("pubdate").isNotNull)
+      .filter(col("pubdate").isNotNull && col("textSize") > minTextSize)
     val a = base.select(col("url").as("url_a"), col("uniqueId").as("id_a"),
       col("module").as("mod_a"), col("pubdate"),
-      col("textSize").as("size_a"))
+      col("textSize").as("size_a"),
+      sizeBucket(col("textSize")).as("bucket"))
     val b = base.select(col("url").as("url_b"), col("uniqueId").as("id_b"),
       col("module").as("mod_b"), col("pubdate"),
       col("textSize").as("size_b"))
-    val candidates = a.join(b, Seq("pubdate"))
+      .withColumn("bucket",
+        explode(array(sizeBucket(col("size_b")) - 1,
+          sizeBucket(col("size_b")), sizeBucket(col("size_b")) + 1)))
+    val candidates = a.join(b, Seq("pubdate", "bucket"))
       .filter(col("url_a") < col("url_b") &&
         col("mod_a") =!= col("mod_b") &&
         abs(col("size_a") - col("size_b")) <=
           greatest(col("size_a"), col("size_b")) * 0.15)
 
+    // whitespace tokenization, empty tokens dropped: repeated spaces must
+    // not manufacture shared "" counts between unrelated texts
     val counts = base.select(col("url"),
-        explode(split(col("text"), " ")).as("w"))
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
       .groupBy("url", "w").agg(count(lit(1)).as("n"))
     val norms = counts.groupBy("url").agg(sum(col("n") * col("n")).as("sq"))
     val dots = candidates.select("url_a", "url_b")
@@ -66,7 +90,10 @@ object DedupeArticles {
           (col("size_a") === col("size_b") && col("id_a") > col("id_b")),
           col("url_b")).otherwise(col("url_a")).as("keptUrl"),
         round(col("cos"), 6).as("cos"))
-      .dropDuplicates("url")
+      .groupBy("url")
+      .agg(min(struct(col("keptUrl"), col("cos"), col("pubdate"))).as("_k"))
+      .select(col("_k.pubdate").as("pubdate"), col("url"),
+        col("_k.keptUrl").as("keptUrl"), col("_k.cos").as("cos"))
   }
 
   /** Articles minus the tombstoned victims. */

@@ -29,11 +29,19 @@ final class BloomStore(root: String) {
 
   private def fileFor(waveId: Long): Path = dir.resolve(f"$waveId%012d.bloom")
 
-  private def waveFiles(): Seq[(Long, Path)] =
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".bloom"))
+  /** Committed wave files only: `<digits>.bloom`. A crash between
+    * createTempFile and the atomic move can leave a `.tmp-*.bloom`
+    * orphan; accepting it here would make every later readAtWave throw
+    * on `.toLong`, so the name filter IS the crash discipline.
+    */
+  private def waveFiles(): Seq[(Long, Path)] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d+\\.bloom"))
       .map(p => p.getFileName.toString.stripSuffix(".bloom").toLong -> p)
       .toSeq.sortBy(_._1)
+    finally stream.close()
+  }
 
   /** Latest persisted shards with waveId <= `wave`, if any. */
   def readAtWave(wave: Long): Option[Array[Array[Byte]]] =

@@ -80,11 +80,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   // -- log access ----------------------------------------------------------
 
+  /** Committed manifests only: `<digits>.json`. A crash between
+    * createTempFile and the atomic rename leaves a `.tmp-*.json` orphan
+    * that must never be parsed as a commit (same discipline as
+    * [[BloomStore]]); the stream is closed to avoid leaking one fd per
+    * wave over a long crawl.
+    */
   private def commitFiles(): Seq[Path] =
     if (!Files.isDirectory(commitDir)) Seq()
-    else Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val stream = Files.list(commitDir)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("\\d+\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
 
   def latest: Option[Commit] =
     commitFiles().lastOption.map(p =>
@@ -103,6 +113,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Read the table at the latest snapshot with its FULL on-disk schema
+    * (merged across data dirs) — for whole-table rewrites that must not
+    * drop enrichment columns appended after the base schema (e.g. the
+    * dedupe survivors rewrite after postProcessArticles). Falls back to
+    * an empty `fallback`-schema frame when no snapshot exists.
+    */
+  def readFull(fallback: StructType): DataFrame =
+    latest.filter(_.dirs.nonEmpty) match {
+      case Some(c) =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(c.dirs.map(d => s"$root/data/$d"): _*)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fallback)
     }
 
   /** Read as of a specific snapshot id (time travel / lineage). */
@@ -170,8 +196,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def vacuumOrphans(): Seq[String] = {
     val live = history.flatMap(_.dirs).toSet
     if (!Files.isDirectory(dataDir)) return Seq()
-    val orphans = Files.list(dataDir).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString)).toSeq
+    val stream = Files.list(dataDir)
+    val orphans =
+      try stream.iterator().asScala
+        .filter(p => !live.contains(p.getFileName.toString)).toSeq
+      finally stream.close()
     orphans.foreach { p =>
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(f => Try(Files.delete(f)))

@@ -194,13 +194,17 @@ object CrawlQueries {
   private def robotsGate(s: SparkSession, dir: String): DataFrame = {
     val u = urls(s, dir)
     val hostNum = regexp_extract(col("host"), "news([0-9]+)", 1).cast("int")
+    // the dim derives from u, so RENAME its columns: a same-name equality
+    // across a self-derived join is fragile (Spark's "trivially true
+    // equals predicate" warning) even when attribute ids disambiguate
     val robots = u.select(col("host")).distinct()
       .filter(hostNum % 4 === 0)
-      .withColumn("disallow_prefix",
-        concat(lit("https://"), col("host"), lit("/articles/")))
+      .select(col("host").as("r_host"),
+        concat(lit("https://"), col("host"), lit("/articles/"))
+          .as("disallow_prefix"))
     u.join(broadcast(robots),
-        u("host") === robots("host") &&
-          u("url").startsWith(robots("disallow_prefix")),
+        col("host") === col("r_host") &&
+          col("url").startsWith(col("disallow_prefix")),
         "left_anti")
       .select("doc_id", "url").orderBy("doc_id")
   }
@@ -221,12 +225,14 @@ object CrawlQueries {
     val filtered = u
       .filter(U.retainValid(col("url"), wl) && U.notInvalid(col("url"), bl))
       .join(seenUrls(s, dir), Seq("url"), "left_anti")
+    // renamed dim columns — see robotsGate for why
     val robots = u.select(col("host")).distinct().filter(hostNum % 4 === 0)
-      .withColumn("disallow_prefix",
-        concat(lit("https://"), col("host"), lit("/articles/")))
+      .select(col("host").as("r_host"),
+        concat(lit("https://"), col("host"), lit("/articles/"))
+          .as("disallow_prefix"))
     val gated = filtered.join(broadcast(robots),
-      filtered("host") === robots("host") &&
-        filtered("url").startsWith(robots("disallow_prefix")),
+      col("host") === col("r_host") &&
+        col("url").startsWith(col("disallow_prefix")),
       "left_anti")
     val w = Window.partitionBy(col("host")).orderBy(col("priority"), col("seq"))
     gated.withColumn("rn", row_number().over(w))

@@ -186,7 +186,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         lit(0).as("httpCode"), lit(null).cast(DateType).as("pubdate"),
         lit(0L).as("rawsize"), lit(0L).as("datasize")))
 
-    val newLinks = discoverLinks(fetched, waveId, seen, frontier)
+    // Depth cap (base_plugin.py:876-951: recursive link expansion stops
+    // at level ≤ 4): each wave is one BFS level from the wave-0 seeds, so
+    // waves beyond maxFrontierDepth drain the pending frontier but
+    // discover no further links.
+    val newLinks = (if (waveId > cfg.maxFrontierDepth)
+        discoverLinks(fetched, waveId, seen, frontier).limit(0)
+      else discoverLinks(fetched, waveId, seen, frontier))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE aggregation action yields wave totals AND the north rule's
@@ -285,14 +291,19 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     */
   def dedupeArticles(threshold: Double = 0.99): Long = {
     val wave = lastCompleteWave
-    val arts = articlesT.read(articleSchema)
+    // Tombstones are computed on the base article projection, but the
+    // survivors REWRITE reads the table's full on-disk schema so
+    // enrichment columns appended by postProcessArticles (triggerwords,
+    // classification) survive regardless of processor order.
+    val artsFull = articlesT.readFull(articleSchema)
+    val arts = artsFull.select(articleSchema.fieldNames.map(col): _*)
     val tomb = graft.operators.DedupeArticles.tombstones(arts, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = tomb.count()
     if (n > 0) {
       tombstonesT.commitAppend(tomb, wave, Map("tombstoned" -> n))
       articlesT.commitReplace(
-        graft.operators.DedupeArticles.survivors(arts, tomb), wave,
+        graft.operators.DedupeArticles.survivors(artsFull, tomb), wave,
         Map("tombstoned" -> n))
     }
     tomb.unpersist()

@@ -313,6 +313,19 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(flagN == graft.functions.KeywordFlags.flagRegexes.size)
   }
 
+  test("maxFrontierDepth caps BFS link discovery (base_plugin.py:876-951)") {
+    val pages = SyntheticPages.pages(spark, N)
+    val e = new CrawlEngine(spark, tempDir("crawl-depth"), pages,
+      emptyRobots, cfg(4, 4).copy(maxFrontierDepth = 1))
+    e.init(SyntheticPages.seeds(spark, 40))
+    val stats = e.runWaves(3)
+    assert(stats(0).newLinks > 0, "wave 1 is within the depth cap")
+    assert(stats(1).newLinks == 0 && stats(2).newLinks == 0,
+      s"waves beyond the cap must discover nothing: ${stats.map(_.newLinks)}")
+    // pending URLs discovered at the cap still drain in later waves
+    assert(stats(1).scheduled > 0)
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
