@@ -44,20 +44,48 @@ object DedupQueries {
     s"WITH corpus AS ($corpusSql),\n" +
       s"sh_all AS ($shinglesSql)$extra\n$body"
 
-  /** Word 3-gram shingles, exploded: (doc_id, shingle). */
-  private def shingles(c: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    c.select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
-      .withColumn("w2", lead(col("word"), 1)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .withColumn("w3", lead(col("word"), 2)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+  /** Word 3-gram shingles, exploded: (doc_id, shingle). Pure map-side
+    * array arithmetic (split → index transform → explode) — NO per-doc
+    * window and NO distinct shuffle: shingling must stay scan-local
+    * because every dedup operator evaluates this subtree, often more
+    * than once per plan.
+    */
+  /** Word array bound as a REAL column, then 3-grams over it. Binding
+    * `_words`/`_grams` as multi-referenced columns is load-bearing:
+    * passing `split(text)` directly into the transform lambda lets
+    * Catalyst inline it, re-evaluating split() once per ELEMENT
+    * (measured 3s vs 0.46s on the sf0.1 corpus); multiple references
+    * block CollapseProject from duplicating the expression.
+    */
+  private def withGrams(c: DataFrame, distinct: Boolean): DataFrame = {
+    val w = col("_words")
+    val raw = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+          element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    c.withColumn("_words", split(col("text"), " "))
+      .withColumn("_grams", if (distinct) array_distinct(raw) else raw)
   }
+
+  /** Word 3-gram shingles, exploded: (doc_id, shingle). Pure map-side
+    * array arithmetic (split → index transform → explode) — NO per-doc
+    * window: shingling must stay scan-local because every dedup operator
+    * evaluates this subtree, often more than once per plan.
+    */
+  private def shingles(c: DataFrame): DataFrame =
+    withGrams(c, distinct = false)
+      .select(col("doc_id"), explode(col("_grams")).as("shingle"))
+
+  /** Distinct shingles per doc with the doc's set size carried inline:
+    * `(doc_id, n, shingle)`. array_distinct runs map-side, so there is
+    * no per-doc shuffle anywhere in the shingling, and downstream
+    * consumers never need a separate sizes join.
+    */
+  private def shingleRows(c: DataFrame): DataFrame =
+    withGrams(c, distinct = true)
+      .select(col("doc_id"), size(col("_grams")).cast("long").as("n"),
+        explode(col("_grams")).as("shingle"))
 
   private val shinglesSql =
     """SELECT doc_id,
@@ -129,20 +157,54 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** q_dedup_jaccard — exact n-gram Jaccard over shared-shingle candidate
-    * pairs (J4 shape: cheap equi-join on shingle bounds the pair space;
-    * no cross join). Pairs with jaccard ≥ 0.6 are near-dups.
+  /** q_dedup_jaccard — exact n-gram Jaccard ≥ 0.6 with PREFIX-FILTERED
+    * candidate generation (SSJoin/PPJoin principle): order every doc's
+    * shingles by (global document-frequency asc, shingle asc); for
+    * J(a,b) ≥ t the overlap is ≥ ceil(t·|a|) and ≥ ceil(t·|b|), so the
+    * two docs MUST share a shingle inside each one's first
+    * n − ceil(t·n) + 1 shingles. Joining only those prefixes (rarest
+    * shingles first, so prefix postings lists are short by construction)
+    * is a LOSSLESS filter — the result is byte-identical to the naive
+    * all-pairs join (which the oracle keeps, doubling as an exactness
+    * check) — while a hot shingle of frequency f no longer contributes
+    * f² candidate rows unless it sits inside prefixes. t is relaxed to
+    * 0.59 in the prefix length (exact integer arithmetic, no float
+    * ceil) so 4-decimal rounding at the 0.6 boundary cannot drop a pair.
     */
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(corpus(s, dir)).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val sh = shingleRows(corpus(s, dir)) // (doc_id, n, shingle), distinct
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(df, "shingle")
+      .withColumn("r", row_number().over(wDoc))
+      // prefix length = n - ceil(0.59*n) + 1, ceil in exact integers
+      .filter(col("r") <= col("n") - expr("(n*59 + 99) DIV 100") + 1)
+      .select("doc_id", "shingle", "r", "n")
+    // PPJoin-style candidate pruning, all lossless for J ≥ 0.59:
+    //  - length filter: t·nb ≤ na (and symmetric);
+    //  - positional filter: the FIRST shared prefix shingle w* has no
+    //    common shingle before it (positions follow one global order),
+    //    so overlap ≤ 1 + min(na−ra, nb−rb) must still reach
+    //    α = ceil(t(na+nb)/(1+t)); a qualifying pair always survives
+    //    via w*, so `exists a passing shared shingle` is sound.
+    val candidates = prefix.select(col("doc_id").as("doc_a"),
+        col("shingle"), col("r").as("ra"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("r").as("rb"), col("n").as("nb")), "shingle")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * 100 >= col("nb") * 59 &&
+        col("nb") * 100 >= col("na") * 59 &&
+        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          expr("((na + nb)*59 + 158) DIV 159"))
+      .select("doc_a", "doc_b").distinct()
+    val common = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= 0.6)

