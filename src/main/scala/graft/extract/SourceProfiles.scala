@@ -1,0 +1,195 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{UrlFunctions => U}
+
+/** Per-source extraction profiles — the reference plugins' regex stacks
+  * for unique-ID (P4 url / P5 content), publish-date extras (P6),
+  * authors (P21) and industries (P20), transcribed per plugin:
+  *
+  *  - ecotimes: urlUniqueRegexps + Last-Modified date extra
+  *    (mod_en_in_ecotimes.py:479-493), authorRegexps (:495-501 six
+  *    patterns), industries = sub-domain token unless 'economictimes'
+  *    (:575-593).
+  *  - timesofindia: content-ID `data-articlemsid`
+  *    (mod_en_in_timesofindia.py:177-219), JSON-LD Person author
+  *    (:250-263, appended whole — no comma split).
+  *  - trak: content-ID shortlink (mod_en_in_trak.py:144-184),
+  *    article:tag industries (:186-203), post-author-name author (:127).
+  *  - indiakanoon: doc-URL id regexes + the 9 ordered date extras with
+  *    `%dth/%dst/%dnd`-style strptime oddities
+  *    (mod_en_in_indiakanoon.py:139-164), docsource_main author
+  *    (:198-211).
+  *
+  * Plugins with an `extractUniqueIDFromContent` use it INSTEAD of the
+  * URL stack, falling back to CRC32 (base_plugin.py:1354-1377); all
+  * others try the per-plugin url regexes, then the base stack, then
+  * CRC32. Per-plugin date regexes are tried BEFORE the base stack
+  * (each plugin's `articleDateRegexps.update(super()...)` puts its own
+  * entries first in insertion order).
+  */
+object SourceProfiles {
+
+  final case class Profile(
+      urlIdRegexes: Seq[String] = Seq(),
+      contentIdPattern: Option[String] = None,
+      dateExtras: Seq[(String, String)] = Seq(),
+      authorRegexes: Seq[String] = Seq(),
+      splitAuthors: Boolean = true,
+      industryTagPattern: Option[String] = None,
+      industryFromSubdomain: Boolean = false)
+
+  /** mod_en_in_ecotimes.py:479-501. */
+  val ecotimes: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(http.+\\/economictimes\\.indiatimes\\.com)(.*\\/)([0-9]+)(\\.cms)",
+      "(\\.economictimes\\.indiatimes\\.com\\/)(.+\\/)([0-9]+)",
+      "(http.+\\/\\/)(.+economictimes\\.indiatimes\\.com\\/.+\\/)([0-9]{5,})"),
+    dateExtras = Seq(
+      // %b %d, %Y  %H:%M:%S (multi-space tolerant — publishedDate
+      // normalizes runs of spaces in the captured value)
+      ("(<meta http-equiv=\"Last-Modified\" content=\"[a-zA-Z]{3,}, )" +
+        "([a-zA-Z]{3}[ ]+[0-9]{1,2},[ ]+20[0-9]{2}[ ]+[0-9]{1,2}:[0-9]{2}:[0-9]{2})" +
+        "( [AMPamp]{2}\"\\/>)",
+        "MMM d, yyyy H:mm:ss")),
+    authorRegexes = Seq(
+      "(agency:')([a-zA-Z0-9]+)(')",
+      "(channel :  ')([a-zA-Z0-9]+)(',)",
+      "(agename = ')([a-zA-Z0-9]+)(';)",
+      "(<div class = \"ag tac\">)([a-zA-Z0-9]+)(<\\/div>)",
+      "(\"publisher\":\\{\"@type\":\"Organization\",\"name\":\")([a-zA-Z0-9]+)(\")",
+      "(\\.economictimes\\.indiatimes\\.com\\/agency\\/.+\" target = \"_blank\">)([a-zA-Z0-9]+)(<\\/a>)"),
+    industryFromSubdomain = true)
+
+  /** mod_en_in_timesofindia.py:177-219, 250-263. */
+  val timesofindia: Profile = Profile(
+    contentIdPattern = Some("(data\\-articlemsid=\")([0-9]{3,})(\")"),
+    authorRegexes = Seq(
+      "(\"author\":\\{\"@type\":\"Person\",\"name\":\")([a-zA-Z0-9 ]+)(\"\\})"),
+    splitAuthors = false)
+
+  /** mod_en_in_trak.py:127, 144-203. */
+  val trak: Profile = Profile(
+    contentIdPattern =
+      Some("(<link rel='shortlink' href='https://trak.in/\\?p=)([0-9]{4,})(' />)"),
+    authorRegexes = Seq(
+      "(<span class=\\\"post-author-name\\\">By <b>)([a-zA-Z0-9 _\\-\\.]{3,})(<\\/b><\\/span>)"),
+    industryTagPattern =
+      Some("(<meta property=\"article:tag\" content=\")([a-zA-Z0-9 \\-_\\.]{2,})(\" \\/>)"))
+
+  private val monthClass =
+    "[January|February|March|April|May|June|July|August|September|October|November|December]{3,}"
+
+  /** mod_en_in_indiakanoon.py:139-164, 198-211. The month "alternation"
+    * is the reference's own character-class quirk, transcribed verbatim.
+    */
+  val indiakanoon: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(https:\\/\\/)(indiankanoon.org\\/doc\\/)([0-9]{5,})(\\/)",
+      "(https:\\/\\/)(indiankanoon.org\\/.+)([0-9]{5,})(\\.html)"),
+    dateExtras = Seq(
+      (s"(<TITLE>.* )([0-9]{1,2} $monthClass, [2|1][0|1][0-9]{2})",
+        "d MMMM, yyyy"),
+      (s"(.)([0-9]{1,2}th $monthClass [2|1][0|1][0-9]{2})",
+        "d'th' MMMM yyyy"),
+      (s"(.)([0-9]{1,2}st $monthClass [2|1][0|1][0-9]{2})",
+        "d'st' MMMM yyyy"),
+      (s"(.)([0-9]{1,2}nd $monthClass [2|1][0|1][0-9]{2})",
+        "d'nd' MMMM yyyy"),
+      // the reference's regex captures "5th, January 2021" but its
+      // strptime format is '%dth %B, %Y' — the pair can never parse, so
+      // this entry always falls through there too; transcribed verbatim
+      (s"(.)([0-9]{1,2}th, $monthClass [2|1][0|1][0-9]{2})",
+        "d'th' MMMM, yyyy"),
+      (s"(.)([0-9]{1,2}th DAY OF $monthClass, [2|1][0|1][0-9]{2})",
+        "d'th DAY OF' MMMM, yyyy"),
+      ("(on )([0-9]+ [a-zA-Z]{3}, [0-9]{4})(<\\/TITLE>)", "d MMM, yyyy"),
+      ("(on )([0-9]+ [a-zA-Z]{3,}, [0-9]{4})(<\\/TITLE>)", "d MMMM, yyyy"),
+      ("(Date: )([0-9]{2}\\/[0-9]{2}\\/20[0-9]{2})", "dd/MM/yyyy")),
+    authorRegexes = Seq(
+      "(<div class=\"docsource_main\">)([a-zA-Z0-9 \\-]{4,})(</div>)"))
+
+  /** Generic profile (synthetic sources): base url stack + the JSON-LD
+    * Person author pattern with comma split (the newspaper-lib analog).
+    */
+  val default: Profile = Profile(
+    authorRegexes = Seq(
+      "(\"author\":\\{\"@type\":\"Person\",\"name\":\")([a-zA-Z0-9 ,]+)(\"\\})"))
+
+  val registry: Map[String, Profile] = Map(
+    "ecotimes" -> ecotimes,
+    "timesofindia" -> timesofindia,
+    "trak" -> trak,
+    "indiakanoon" -> indiakanoon
+  ).withDefaultValue(default)
+
+  /** Sources with non-default profiles (drives the per-row dispatch). */
+  val knownSources: Seq[String] =
+    Seq("ecotimes", "timesofindia", "trak", "indiakanoon")
+
+  // ---- per-profile column builders ----------------------------------------
+
+  /** P4/P5 unique id. Content plugins (P5) use the content pattern with
+    * CRC32 fallback (base_plugin.py:1354-1377); others run the url
+    * cascade (per-plugin regexes first, then base, then CRC32).
+    */
+  def uniqueId(p: Profile, url: Column, html: Column): Column =
+    p.contentIdPattern match {
+      case Some(pat) =>
+        coalesce(nullif(regexp_extract(html, pat, 2), lit("")),
+          U.crc32Hex(url))
+      case None =>
+        U.uniqueId(url, p.urlIdRegexes ++ U.defaultIdRegexes)
+    }
+
+  /** P21 authors: first matching regex's group(2); comma-split where the
+    * plugin does (empty array when nothing matches).
+    */
+  def authors(p: Profile, html: Column): Column = {
+    if (p.authorRegexes.isEmpty) array().cast("array<string>")
+    else {
+      val first = coalesce(
+        p.authorRegexes.map(r => nullif(regexp_extract(html, r, 2), lit(""))): _*)
+      val arr =
+        if (p.splitAuthors) split(first, ",")
+        else array(first)
+      when(first.isNotNull, filter(arr, a => length(a) > 0))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** P20 industries: sub-domain token (ecotimes) or tag findall (trak);
+    * empty otherwise.
+    */
+  def industries(p: Profile, url: Column, html: Column): Column =
+    if (p.industryFromSubdomain) {
+      val token = element_at(split(U.host(url), "\\."), 1)
+      when(token.isNotNull && token =!= "economictimes", array(token))
+        .otherwise(array().cast("array<string>"))
+    } else p.industryTagPattern
+      .map(pat => regexp_extract_all(html, lit(pat), lit(2)))
+      .getOrElse(array().cast("array<string>"))
+
+  /** P18 keyword merge: `keywords` + `news_keywords` metas, comma-split,
+    * trimmed, first-seen-deduped (news_event.py:360-385, :206-218).
+    */
+  def keywords(html: Column): Column = {
+    def meta(name: String) =
+      regexp_extract(html, s"<meta name=\"$name\" content=\"([^\"]*)\"", 1)
+    val merged = concat(split(meta("keywords"), ","),
+      split(meta("news_keywords"), ","))
+    filter(array_distinct(transform(merged, k => trim(k))),
+      k => length(k) > 0)
+  }
+
+  /** Per-row source-dispatched column: `f(profile)` per known source,
+    * default otherwise — the Spark analog of the reference's per-plugin
+    * virtual call, resolved at plan time into one CASE expression.
+    */
+  def bySource(source: Column)(f: Profile => Column): Column =
+    knownSources.foldRight(f(default)) { (name, acc) =>
+      when(source === name, f(registry(name))).otherwise(acc)
+    }
+}

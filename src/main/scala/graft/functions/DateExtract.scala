@@ -66,7 +66,11 @@ object DateExtract {
   def publishedDate(html: Column, asOf: Column,
                     extra: Seq[(String, String)] = Seq()): Column = {
     val tries = (extra ++ defaultDateRegexes).map { case (re, fmt) =>
-      val raw = nullif(regexp_extract(html, re, 2), lit(""))
+      // runs of spaces collapse before parsing: Python strptime treats
+      // whitespace runs as one (ecotimes' '%b %d, %Y  %H:%M:%S' extra
+      // captures double-spaced values); Java patterns are strict.
+      val raw = regexp_replace(
+        nullif(regexp_extract(html, re, 2), lit("")), " +", " ")
       // Spark ≥3 forbids 'E' (day-of-week) in PARSING patterns — drop the
       // redundant "Thu, " prefix from the value instead.
       val (value, parseFmt) =

@@ -114,9 +114,117 @@ object ExtractQueries {
       |WHERE length(concat(substr(text, 1, 80), ' & more.Para two t''s.')) > 10
       |ORDER BY doc_id""".stripMargin)
 
+  /** q_article_assembly_full — the FULL per-source NewsEvent assembly
+    * (VERDICT r01 item 1): rows cycle through the
+    * ecotimes/timesofindia/trak/indiakanoon/generic profiles and run the
+    * REAL SourceProfiles operators — P4 per-plugin url-ID stacks, P5
+    * content-ID patterns (TOI data-articlemsid, trak shortlink), P6 date
+    * cascade with per-plugin extras (ecotimes Last-Modified '%b %d, %Y',
+    * indiakanoon title dates), P18 keyword-meta merge, P21 author stacks
+    * (TOI unsplit, generic comma-split), P20 industries (ecotimes
+    * sub-domain rule, trak article:tag findall) — over deterministic
+    * synthetic pages; the oracle reconstructs every expected value from
+    * the same synthesis arithmetic.
+    */
+  private def articleAssemblyFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.SourceProfiles
+    import graft.functions.DateExtract
+    val d = documents(s, dir)
+    val id = col("doc_id")
+    val m = (id % 5).cast("int")
+    val src = when(m === 0, "ecotimes").when(m === 1, "timesofindia")
+      .when(m === 2, "trak").when(m === 3, "indiakanoon")
+      .otherwise("generic")
+    val dayS = (id % 28 + 1).cast("string")
+    val kwN = (id % 7).cast("string")
+    val url = when(m === 0,
+        concat(lit("https://markets.economictimes.indiatimes.com/markets/story/"),
+          (id + 10000).cast("string"), lit(".cms")))
+      .when(m === 1, concat(lit("https://timesofindia.indiatimes.com/biz/story-"),
+        id.cast("string")))
+      .when(m === 2, concat(lit("https://trak.in/tags/business/story-"),
+        id.cast("string"), lit("/")))
+      .when(m === 3, concat(lit("https://indiankanoon.org/doc/"),
+        (id + 50000).cast("string"), lit("/")))
+      .otherwise(concat(lit("https://www.newsx.com/biz/article-"),
+        (id + 10000).cast("string")))
+    val kwMeta = concat(
+      lit("<meta name=\"keywords\" content=\"alpha, beta "), kwN,
+      lit("\"/><meta name=\"news_keywords\" content=\"beta "), kwN,
+      lit(",gamma\"/>"))
+    val dateBlock = when(m === 0,
+        concat(lit("<meta http-equiv=\"Last-Modified\" content=\"Saturday, Jan "),
+          dayS, lit(", 2020 10:30:05 AM\"/>")))
+      .when(m === 3, concat(lit("<TITLE>Case Judgment on "), dayS,
+        lit(" Mar, 2020</TITLE>")))
+      .otherwise(concat(lit("<div data-date=\"2020-02-"), lpad(dayS, 2, "0"),
+        lit("\">d</div>")))
+    val authorBlock = when(m === 0,
+        lit("<script>{\"publisher\":{\"@type\":\"Organization\",\"name\":\"ETMarkets\"}}</script>"))
+      .when(m === 1, concat(lit("{\"author\":{\"@type\":\"Person\",\"name\":\"Reporter "),
+        kwN, lit("\"}}")))
+      .when(m === 2, lit("<span class=\"post-author-name\">By <b>Trak Author</b></span>"))
+      .when(m === 3, lit("<div class=\"docsource_main\">Supreme Court</div>"))
+      .otherwise(concat(lit("{\"author\":{\"@type\":\"Person\",\"name\":\"Reporter "),
+        kwN, lit(", Staff Writer\"}}")))
+    val idBlock = when(m === 1, concat(lit("<div data-articlemsid=\""),
+        (id + 3000).cast("string"), lit("\">x</div>")))
+      .when(m === 2, concat(lit("<link rel='shortlink' href='https://trak.in/?p="),
+        (id + 4000).cast("string"), lit("' />")))
+      .otherwise(lit(""))
+    val indBlock = when(m === 2,
+      lit("<meta property=\"article:tag\" content=\"Startups\" />" +
+        "<meta property=\"article:tag\" content=\"Funding News\" />"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), dateBlock, kwMeta,
+      lit("</head><body>"), idBlock, authorBlock, indBlock,
+      lit("</body></html>"))
+    d.select(id, src.as("source"), url.as("url"), html.as("html"))
+      .select(col("doc_id"), col("source"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.uniqueId(p, col("url"), col("html"))).as("unique_id"),
+        SourceProfiles.bySource(col("source"))(p =>
+          DateExtract.publishedDate(col("html"),
+            lit("2021-01-01").cast("date"), p.dateExtras)).as("pubdate"),
+        concat_ws("|", SourceProfiles.keywords(col("html")))
+          .as("keywords_joined"),
+        concat_ws("|", SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.authors(p, col("html")))).as("authors_joined"),
+        concat_ws("|", SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.industries(p, col("url"), col("html"))))
+          .as("industries_joined"))
+      .orderBy("doc_id")
+  }
+
+  private val articleAssemblyFullSql =
+    """SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'ecotimes' WHEN 1 THEN 'timesofindia'
+      |         WHEN 2 THEN 'trak' WHEN 3 THEN 'indiakanoon'
+      |         ELSE 'generic' END AS source,
+      |  CAST(CASE m WHEN 0 THEN doc_id + 10000 WHEN 1 THEN doc_id + 3000
+      |              WHEN 2 THEN doc_id + 4000 WHEN 3 THEN doc_id + 50000
+      |              ELSE doc_id + 10000 END AS VARCHAR) AS unique_id,
+      |  (CASE m WHEN 0 THEN DATE '2020-01-01' WHEN 3 THEN DATE '2020-03-01'
+      |          ELSE DATE '2020-02-01' END
+      |   + to_days(CAST(doc_id % 28 AS INT)))::DATE AS pubdate,
+      |  concat('alpha|beta ', CAST(doc_id % 7 AS VARCHAR), '|gamma')
+      |    AS keywords_joined,
+      |  CASE m WHEN 0 THEN 'ETMarkets'
+      |         WHEN 1 THEN concat('Reporter ', CAST(doc_id % 7 AS VARCHAR))
+      |         WHEN 2 THEN 'Trak Author'
+      |         WHEN 3 THEN 'Supreme Court'
+      |         ELSE concat('Reporter ', CAST(doc_id % 7 AS VARCHAR),
+      |                     '| Staff Writer') END AS authors_joined,
+      |  CASE m WHEN 0 THEN 'markets' WHEN 2 THEN 'Startups|Funding News'
+      |         ELSE '' END AS industries_joined
+      |FROM (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_body_extract", bodyExtract, Some(bodyExtractSql)),
     QueryDef("q_pubdate_extract", pubdateExtract, Some(pubdateExtractSql)),
-    QueryDef("q_article_assembly", articleAssembly, Some(articleAssemblySql))
+    QueryDef("q_article_assembly", articleAssembly, Some(articleAssemblySql)),
+    QueryDef("q_article_assembly_full", articleAssemblyFull,
+      Some(articleAssemblyFullSql))
   )
 }

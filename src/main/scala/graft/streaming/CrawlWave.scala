@@ -51,7 +51,12 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     StructField("url", StringType), StructField("uniqueId", StringType),
     StructField("module", StringType), StructField("pubdate", DateType),
     StructField("title", StringType), StructField("text", StringType),
-    StructField("textSize", LongType), StructField("waveId", LongType)))
+    StructField("textSize", LongType),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("sourceName", ArrayType(StringType)),
+    StructField("industries", ArrayType(StringType)),
+    StructField("category", StringType),
+    StructField("waveId", LongType)))
 
   val frontierT = new SnapshotTable(spark, s"$root/frontier")
   val seenT = new SnapshotTable(spark, s"$root/seen")
@@ -87,27 +92,45 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       .map(_.latest.map(_.waveId).getOrElse(-1L)).min
 
   /** Article extraction pipeline (pure column expressions + the
-    * per-source cascade Catalyst expression; no UDFs). The cascade is
-    * dispatched per row from the source column — the reference's
-    * per-plugin extractArticleBody virtual call (base_plugin.py:1301-92);
-    * unknown sources fall back to the generic div.artText block.
+    * per-source cascade Catalyst expression; no UDFs) — the FULL §1.1
+    * NewsEvent assembly the reference performs per fetch
+    * (base_plugin.py:1301-1392), not just title+text:
+    *  - body via the per-source cascade (§2.4), P7 cleanText;
+    *  - uniqueId via the per-plugin P4 url stacks / P5 content patterns
+    *    with CRC32 fallback (SourceProfiles);
+    *  - pubdate via the P6 cascade with per-plugin extras prepended
+    *    (DateExtract + SourceProfiles.dateExtras), F9 future-reject;
+    *  - P18 keyword-meta merge, P21 authors, P20 industries;
+    *  - category: never set by any reference plugin (news_event.py:226
+    *    has no plugin caller) — carried as null for record parity.
+    * All dispatch is per-row on the source column, resolved at plan time
+    * into CASE expressions — the reference's per-plugin virtual calls.
     */
   private def extractArticles(fetched: DataFrame, waveId: Long): DataFrame = {
-    val html = col("html").cast("string")
+    import graft.extract.SourceProfiles
+    val html = col("_html")
     val body = graft.extract.SourceCascades
       .body_text_by_source(html, col("source"))
     fetched
+      .withColumn("_html", col("html").cast("string"))
       .withColumn("_body", body)
       .select(
         col("url"),
-        U.uniqueId(col("url"), U.defaultIdRegexes).as("uniqueId"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.uniqueId(p, col("url"), html)).as("uniqueId"),
         col("source").as("module"),
-        to_date(nullif(regexp_extract(html,
-          "(data\\-date=\")([0-9]{4}\\-[0-9]{2}\\-[0-9]{2})(\")", 2),
-          lit("")), "yyyy-MM-dd").as("pubdate"),
+        SourceProfiles.bySource(col("source"))(p =>
+          graft.functions.DateExtract
+            .publishedDate(html, current_date(), p.dateExtras)).as("pubdate"),
         regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
         TextClean.cleanText(col("_body")).as("text"),
         length(col("_body")).cast("long").as("textSize"),
+        SourceProfiles.keywords(html).as("keywords"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.authors(p, html)).as("sourceName"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.industries(p, col("url"), html)).as("industries"),
+        lit(null).cast(StringType).as("category"),
         lit(waveId).as("waveId"))
       .filter(col("textSize") > 10) // F8 min-text gate (configurable)
   }

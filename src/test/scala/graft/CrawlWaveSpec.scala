@@ -253,6 +253,44 @@ class CrawlWaveSpec extends SparkTestBase {
     }
   }
 
+  test("ecotimes fixture end-to-end through the ENGINE pins the reference " +
+      "assertions (test_mod_en_in_ecotimes.py:124-144)") {
+    import java.io.{BufferedInputStream, FileInputStream}
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = new BZip2CompressorInputStream(new BufferedInputStream(
+        new FileInputStream(s"/root/reference/test-data/$name")))
+      try in.readAllBytes() finally in.close()
+    }
+    // the reference test's exact URL and fixture page
+    val url = "https://economictimes.indiatimes.com/markets/expert-view/" +
+      "a-reasonable-budget-but-still-unclear-on-fiscal-deficit-front-" +
+      "swaminathan-aiyar/articleshow/73837853.cms"
+    val pages = Seq((url, fixture("mod_en_in_ecotimes_73837853.html.bz2")))
+      .toDF("url", "html")
+    val seeds = Seq((url, "ecotimes", 0, 1L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-eco-e2e"), pages,
+      emptyRobots, cfg(2, 2))
+    e.init(seeds)
+    val stats = e.runWave()
+    val row = e.articlesNow()
+      .select(col("uniqueId"), col("pubdate").cast("string"),
+        col("textSize"), col("keywords"), col("industries"), col("title"))
+      .as[(String, String, Long, Seq[String], Seq[String], String)].head()
+    // pins of test_mod_en_in_ecotimes.py:124-144, asserted through the
+    // engine's committed articles table, not the extractor function:
+    assert(row._1 == "73837853", s"articleID, got ${row._1}")   // P4 stack
+    assert(row._2 == "2020-02-01", s"publishDate, got ${row._2}") // P6
+    assert(row._3 >= 2687L, s"textSize, got ${row._3}")          // F8/body
+    assert(stats.newLinks >= 40L, s"additionalLinks, got ${stats.newLinks}")
+    // P18: the page's news_keywords meta is merged and deduped
+    assert(row._4.exists(_.contains("Swaminathan Aiyar")), s"keywords ${row._4.take(5)}")
+    // P20: sub-domain token is 'economictimes' => excluded by the rule
+    assert(row._5.isEmpty, s"industries ${row._5}")
+  }
+
   test("dedupe post-processor tombstones the smaller near-duplicate") {
     import spark.implicits._
     // two sources publish near-identical bodies on the same date; a third
