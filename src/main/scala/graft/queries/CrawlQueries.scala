@@ -188,6 +188,26 @@ object CrawlQueries {
       |  FROM urls)
       |WHERE rn <= budget ORDER BY host, url""".stripMargin)
 
+  /** q_noncontent_urls — F4 has_noncont_url (base_plugin.py:550-562 via
+    * sameURLWithoutQueryParams, scraper_utils.py:415-434): drop a url iff
+    * its (host, path) equals a non-content URL's (host, path) — QUERY
+    * PARAMS IGNORED. The non-content list carries an extra ?ref=nc query
+    * (and every 7th candidate already has ?utm_source=feed), so the test
+    * passes only if the comparison really strips queries on both sides.
+    */
+  private def nonContentUrls(s: SparkSession, dir: String): DataFrame = {
+    val u = urls(s, dir)
+    val nc = u.filter(col("doc_id") % 10 === 0)
+      .select(concat(col("url"), lit("?ref=nc")).as("nc_url"))
+    U.dropNonContentUrls(u, "url", nc, "nc_url")
+      .select("doc_id", "url").orderBy("doc_id")
+  }
+
+  private val nonContentUrlsSql = withUrls(
+    """SELECT doc_id, url FROM urls
+      |WHERE doc_id % 10 <> 0
+      |ORDER BY doc_id""".stripMargin)
+
   /** q_robots_gate — north-rule robots.txt gating: hosts with
     * hostnum%4=0 disallow the '/articles/' prefix; anti prefix-join.
     */
@@ -302,6 +322,7 @@ object CrawlQueries {
     QueryDef("q_frontier_topk", frontierTopk, Some(frontierTopkSql)),
     QueryDef("q_first_seen_dedupe", firstSeenDedupe, Some(firstSeenDedupeSql)),
     QueryDef("q_domain_route", domainRoute, Some(domainRouteSql)),
+    QueryDef("q_noncontent_urls", nonContentUrls, Some(nonContentUrlsSql)),
     QueryDef("q_host_budget", hostBudget, Some(hostBudgetSql)),
     QueryDef("q_robots_gate", robotsGate, Some(robotsGateSql)),
     QueryDef("q_wave_schedule", waveSchedule, Some(waveScheduleSql)),

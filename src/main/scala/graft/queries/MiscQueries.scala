@@ -383,7 +383,137 @@ object MiscQueries {
        |ORDER BY idx""".stripMargin
   }
 
+  /** q_bhavcopy_parse — S9's bhavcopy archive record parsing
+    * (mod_in_nse.py:336-397, mod_in_bse.py:89-232):
+    *  - publish date from the archive URL's ddmmyy group(2)
+    *    (mod_in_nse.py:87,399-418; mod_in_bse.py:70,213-232);
+    *  - zip-member routing to typed record files
+    *    (calculateFileNamePrefix, mod_in_nse.py:378-397: An→announce,
+    *    Bm→boardmeet, Bc→corp_action, Pd→equity, corpbond→debt,
+    *    else module-prefixed; BSE EQ_ISINCODE_→equity_bse_YYYYMMDD.csv;
+    *    Readme.txt never extracted — mod_in_nse.py:353);
+    *  - the price-CSV member's rows parsed into typed records
+    *    (symbol, series, close, volume).
+    * Zip listings are synthesized deterministically per exchange; the
+    * oracle mirrors the same arithmetic.
+    */
+  private def bhavcopyParse(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val isNse = id % 2 === 0
+    val base = documents(s, dir).filter(id < 120).select("doc_id")
+      .withColumn("pubdate0",
+        date_sub(lit("2021-03-15").cast("date"), (id % 10 + 1).cast("int")))
+      .withColumn("url", when(isNse,
+          concat(lit("https://www1.nseindia.com/archives/equities/bhavcopy/pr/PR"),
+            date_format(col("pubdate0"), "ddMMyy"), lit(".zip")))
+        .otherwise(concat(
+          lit("https://www.bseindia.com/download/BhavCopy/Equity/EQ_ISINCODE_"),
+          date_format(col("pubdate0"), "ddMMyy"), lit(".zip"))))
+      // P4 NSE/BSE variant: (date, ddmmyy) from the url pattern group(2)
+      .withColumn("dd", when(isNse, regexp_extract(col("url"),
+          "(^https://www1.nseindia.com/archives/equities/bhavcopy/pr/PR)([0-9]+)(.zip$)", 2))
+        .otherwise(regexp_extract(col("url"),
+          "(^https://www.bseindia.com/download/BhavCopy/Equity/EQ_ISINCODE_)([0-9]+)(.zip$)", 2)))
+      .withColumn("pubdate", to_date(col("dd"), "ddMMyy"))
+    val members = when(isNse, array(
+        concat(lit("An"), col("dd"), lit(".csv")),
+        concat(lit("Bm"), col("dd"), lit(".csv")),
+        concat(lit("Bc"), col("dd"), lit(".csv")),
+        concat(lit("Pd"), col("dd"), lit(".csv")),
+        lit("corpbond.csv"), lit("Readme.txt"), lit("extra_notes.txt")))
+      .otherwise(array(
+        concat(lit("EQ_ISINCODE_"), col("dd"), lit(".CSV")),
+        lit("Readme.txt"), lit("surveillance.txt")))
+    val exploded = base.withColumn("member", explode(members))
+      .filter(!col("member").contains("Readme.txt"))
+    val ymd = date_format(col("pubdate"), "yyyyMMdd")
+    val ext = regexp_extract(col("member"), "(\\.[^.]*)$", 1)
+    val routed = when(isNse,
+        when(col("member").startsWith("An"),
+          concat(lit("equity_nse_announce_"), ymd, ext))
+        .when(col("member").startsWith("Bm"),
+          concat(lit("equity_nse_boardmeet_"), ymd, ext))
+        .when(col("member").startsWith("Bc"),
+          concat(lit("equity_nse_corp_action_"), ymd, ext))
+        .when(col("member").startsWith("Pd"),
+          concat(lit("equity_nse_"), ymd, ext))
+        .when(col("member").startsWith("corpbond"),
+          concat(lit("debt_nse_"), ymd, ext))
+        .otherwise(concat(lit("mod_in_nse_"), col("member"))))
+      .otherwise(
+        when(col("member").startsWith("EQ_ISINCODE_"),
+          concat(lit("equity_bse_"), ymd, lit(".csv")))
+        .otherwise(concat(lit("mod_in_bse_"), col("member"))))
+    val isPrice = when(isNse, col("member").startsWith("Pd"))
+      .otherwise(col("member").startsWith("EQ_ISINCODE_"))
+    // the price member's CSV row, split into a typed record
+    val line = concat(lit("SYM"), id.cast("string"), lit(",EQ,"),
+      (lit(100) + id % 50).cast("string"), lit(","),
+      (lit(105) + id % 50).cast("string"), lit(","),
+      (lit(95) + id % 50).cast("string"), lit(","),
+      (lit(101) + id % 50).cast("string"), lit(","),
+      (lit(1000) + id).cast("string"))
+    val f = split(line, ",")
+    exploded.select(col("doc_id"),
+        when(isNse, "NSE").otherwise("BSE").as("exchange"),
+        col("pubdate"), col("member"), routed.as("routed"),
+        when(isPrice, element_at(f, 1)).as("symbol"),
+        when(isPrice, element_at(f, 2)).as("series"),
+        when(isPrice, element_at(f, 6).cast("double")).as("close_px"),
+        when(isPrice, element_at(f, 7).cast("bigint")).as("volume"))
+      .orderBy("doc_id", "member")
+  }
+
+  private val bhavcopyParseSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    (DATE '2021-03-15' - to_days(CAST(doc_id % 10 + 1 AS INT)))::DATE AS pubdate,
+      |    doc_id % 2 = 0 AS is_nse,
+      |    strftime((DATE '2021-03-15' - to_days(CAST(doc_id % 10 + 1 AS INT)))::DATE,
+      |             '%d%m%y') AS dd,
+      |    strftime((DATE '2021-03-15' - to_days(CAST(doc_id % 10 + 1 AS INT)))::DATE,
+      |             '%Y%m%d') AS ymd
+      |  FROM documents WHERE doc_id < 120),
+      |m AS (
+      |  SELECT b.*, t.member FROM b,
+      |    UNNEST(CASE WHEN is_nse THEN
+      |      [concat('An', dd, '.csv'), concat('Bm', dd, '.csv'),
+      |       concat('Bc', dd, '.csv'), concat('Pd', dd, '.csv'),
+      |       'corpbond.csv', 'Readme.txt', 'extra_notes.txt']
+      |    ELSE [concat('EQ_ISINCODE_', dd, '.CSV'), 'Readme.txt',
+      |          'surveillance.txt'] END) AS t(member)
+      |  )
+      |SELECT doc_id,
+      |  CASE WHEN is_nse THEN 'NSE' ELSE 'BSE' END AS exchange,
+      |  pubdate, member,
+      |  CASE WHEN is_nse THEN
+      |    CASE WHEN starts_with(member, 'An') THEN concat('equity_nse_announce_', ymd, '.csv')
+      |         WHEN starts_with(member, 'Bm') THEN concat('equity_nse_boardmeet_', ymd, '.csv')
+      |         WHEN starts_with(member, 'Bc') THEN concat('equity_nse_corp_action_', ymd, '.csv')
+      |         WHEN starts_with(member, 'Pd') THEN concat('equity_nse_', ymd, '.csv')
+      |         WHEN starts_with(member, 'corpbond') THEN concat('debt_nse_', ymd, '.csv')
+      |         ELSE concat('mod_in_nse_', member) END
+      |  ELSE
+      |    CASE WHEN starts_with(member, 'EQ_ISINCODE_') THEN concat('equity_bse_', ymd, '.csv')
+      |         ELSE concat('mod_in_bse_', member) END
+      |  END AS routed,
+      |  CASE WHEN (is_nse AND starts_with(member, 'Pd'))
+      |         OR (NOT is_nse AND starts_with(member, 'EQ_ISINCODE_'))
+      |    THEN concat('SYM', CAST(doc_id AS VARCHAR)) END AS symbol,
+      |  CASE WHEN (is_nse AND starts_with(member, 'Pd'))
+      |         OR (NOT is_nse AND starts_with(member, 'EQ_ISINCODE_'))
+      |    THEN 'EQ' END AS series,
+      |  CASE WHEN (is_nse AND starts_with(member, 'Pd'))
+      |         OR (NOT is_nse AND starts_with(member, 'EQ_ISINCODE_'))
+      |    THEN CAST(101 + doc_id % 50 AS DOUBLE) END AS close_px,
+      |  CASE WHEN (is_nse AND starts_with(member, 'Pd'))
+      |         OR (NOT is_nse AND starts_with(member, 'EQ_ISINCODE_'))
+      |    THEN CAST(1000 + doc_id AS BIGINT) END AS volume
+      |FROM m WHERE NOT contains(member, 'Readme.txt')
+      |ORDER BY doc_id, member""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bhavcopy_parse", bhavcopyParse, Some(bhavcopyParseSql)),
     QueryDef("q_announce_parse", announceParse, Some(announceParseSql)),
     QueryDef("q_keyword_flags", keywordFlags, Some(keywordFlagsSql)),
     QueryDef("q_rss_scan", rssScan, Some(rssScanSql)),
