@@ -73,7 +73,11 @@ object EnduranceBench {
          |Reading: wall time per wave tracks THAT WAVE's scheduled+discovered
          |volume, not the cumulative seen/frontier size — the incremental
          |bloom store and append-only frontier keep per-wave state IO
-         |O(delta). (Shared-host noise moves individual wave times ±40%.)
+         |O(delta). Waves past maxFrontierDepth (default 4) discover 0 new
+         |links by design (the reference's BFS recursion cap,
+         |base_plugin.py:876-951) and keep draining the pending backlog at
+         |flat per-wave cost. (Shared-host noise moves individual wave
+         |times ±40%.)
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/ENDURANCE.md"),

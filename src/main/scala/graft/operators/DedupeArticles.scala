@@ -56,7 +56,11 @@ object DedupeArticles {
       .withColumn("bucket",
         explode(array(sizeBucket(col("size_b")) - 1,
           sizeBucket(col("size_b")), sizeBucket(col("size_b")) + 1)))
-    val candidates = a.join(b, Seq("pubdate", "bucket"))
+    // shuffle-hash, never broadcast: both sides scale with the articles
+    // table (b is additionally ×3 by the bucket explode) — a broadcast
+    // pick from a size mis-estimate OOMs the driver at corpus scale
+    val candidates = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("pubdate", "bucket"))
       .filter(col("url_a") < col("url_b") &&
         col("mod_a") =!= col("mod_b") &&
         abs(col("size_a") - col("size_b")) <=
@@ -69,11 +73,11 @@ object DedupeArticles {
       .filter(col("w") =!= "")
       .groupBy("url", "w").agg(count(lit(1)).as("n"))
     val norms = counts.groupBy("url").agg(sum(col("n") * col("n")).as("sq"))
-    val dots = candidates.select("url_a", "url_b")
+    val dots = candidates.select("url_a", "url_b").hint("shuffle_hash")
       .join(counts.select(col("url").as("url_a"), col("w"),
-        col("n").as("na")), "url_a")
+        col("n").as("na")).hint("shuffle_hash"), "url_a")
       .join(counts.select(col("url").as("url_b"), col("w"),
-        col("n").as("nb")), Seq("url_b", "w"))
+        col("n").as("nb")).hint("shuffle_hash"), Seq("url_b", "w"))
       .groupBy("url_a", "url_b").agg(sum(col("na") * col("nb")).as("dot"))
 
     candidates.join(dots, Seq("url_a", "url_b"))

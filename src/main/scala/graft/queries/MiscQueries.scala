@@ -383,6 +383,65 @@ object MiscQueries {
        |ORDER BY idx""".stripMargin
   }
 
+  /** q_master_scan — S10 master-data side scan (mod_in_nse.py:67-77,
+    * 318-334): the 9 fixed master CSV URLs are fetched once and skipped
+    * on every later run (masterDataExtractedFlag / file-exists check) —
+    * a first-seen aggregation over the run × dim-URL attempt set with
+    * the dim side broadcast.
+    */
+  private def masterScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val masters = Seq(
+      ("mod_in_nse_EQUITY_L.csv",
+        "https://archives.nseindia.com/content/equities/EQUITY_L.csv"),
+      ("mod_in_nse_SME_EQUITY_L.csv",
+        "https://archives.nseindia.com/emerge/corporates/content/SME_EQUITY_L.csv"),
+      ("mod_in_nse_eq_etfseclist.csv",
+        "https://archives.nseindia.com/content/equities/eq_etfseclist.csv"),
+      ("mod_in_nse_PREF.csv",
+        "https://archives.nseindia.com/content/equities/PREF.csv"),
+      ("mod_in_nse_namechange.csv",
+        "https://archives.nseindia.com/content/equities/namechange.csv"),
+      ("mod_in_nse_symbolchange.csv",
+        "https://archives.nseindia.com/content/equities/symbolchange.csv"),
+      ("mod_in_nse_WARRANT.csv",
+        "https://archives.nseindia.com/content/equities/WARRANT.csv"),
+      ("mod_in_nse_DEBT.csv",
+        "https://archives.nseindia.com/content/equities/DEBT.csv"),
+      ("mod_in_nse_Redmn_Def_Web.csv",
+        "https://archives.nseindia.com/content/debt/Redmn_Def_Web.csv"))
+    val dim = masters.toDF("filename", "url")
+    val runs = documents(s, dir).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("run_id"))
+    runs.crossJoin(broadcast(dim))
+      .groupBy("filename", "url")
+      .agg(min(col("run_id")).as("fetch_run"),
+        (count(lit(1)) - 1).as("skipped_runs"))
+      .orderBy("filename")
+  }
+
+  private val masterScanSql = {
+    val rows = Seq(
+      "mod_in_nse_EQUITY_L.csv" -> "https://archives.nseindia.com/content/equities/EQUITY_L.csv",
+      "mod_in_nse_SME_EQUITY_L.csv" -> "https://archives.nseindia.com/emerge/corporates/content/SME_EQUITY_L.csv",
+      "mod_in_nse_eq_etfseclist.csv" -> "https://archives.nseindia.com/content/equities/eq_etfseclist.csv",
+      "mod_in_nse_PREF.csv" -> "https://archives.nseindia.com/content/equities/PREF.csv",
+      "mod_in_nse_namechange.csv" -> "https://archives.nseindia.com/content/equities/namechange.csv",
+      "mod_in_nse_symbolchange.csv" -> "https://archives.nseindia.com/content/equities/symbolchange.csv",
+      "mod_in_nse_WARRANT.csv" -> "https://archives.nseindia.com/content/equities/WARRANT.csv",
+      "mod_in_nse_DEBT.csv" -> "https://archives.nseindia.com/content/equities/DEBT.csv",
+      "mod_in_nse_Redmn_Def_Web.csv" -> "https://archives.nseindia.com/content/debt/Redmn_Def_Web.csv")
+      .map { case (f, u) => s"('$f', '$u')" }.mkString(",\n    ")
+    s"""WITH dim(filename, url) AS (VALUES
+       |    $rows),
+       |runs AS (SELECT doc_id AS run_id FROM documents WHERE doc_id < 10)
+       |SELECT filename, url, min(run_id) AS fetch_run,
+       |  count(*) - 1 AS skipped_runs
+       |FROM runs CROSS JOIN dim
+       |GROUP BY filename, url
+       |ORDER BY filename""".stripMargin
+  }
+
   /** q_bhavcopy_parse — S9's bhavcopy archive record parsing
     * (mod_in_nse.py:336-397, mod_in_bse.py:89-232):
     *  - publish date from the archive URL's ddmmyy group(2)
@@ -513,6 +572,7 @@ object MiscQueries {
       |ORDER BY doc_id, member""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_master_scan", masterScan, Some(masterScanSql)),
     QueryDef("q_bhavcopy_parse", bhavcopyParse, Some(bhavcopyParseSql)),
     QueryDef("q_announce_parse", announceParse, Some(announceParseSql)),
     QueryDef("q_keyword_flags", keywordFlags, Some(keywordFlagsSql)),
