@@ -64,8 +64,18 @@ object DateExtract {
     * whole cascade (reference catches per-pattern and tries the next).
     */
   def publishedDate(html: Column, asOf: Column,
-                    extra: Seq[(String, String)] = Seq()): Column = {
-    val tries = (extra ++ defaultDateRegexes).map { case (re, fmt) =>
+                    extra: Seq[(String, String)] = Seq()): Column =
+    cascade(html, asOf, extra ++ defaultDateRegexes)
+
+  /** The ordered (regex → format) coalesce over an explicit pattern
+    * list. `coalesce(cascade(extras), cascade(base))` ≡
+    * `cascade(extras ++ base)` — callers dispatching per-source extras
+    * use that identity to share ONE base cascade across all sources
+    * instead of duplicating the 15-pattern stack per dispatch branch.
+    */
+  def cascade(html: Column, asOf: Column,
+              patterns: Seq[(String, String)]): Column = {
+    val tries = patterns.map { case (re, fmt) =>
       // runs of spaces collapse before parsing: Python strptime treats
       // whitespace runs as one (ecotimes' '%b %d, %Y  %H:%M:%S' extra
       // captures double-spaced values); Java patterns are strict.
@@ -80,6 +90,6 @@ object DateExtract {
       val ts = try_to_timestamp(value, lit(parseFmt))
       when(to_date(ts) <= asOf, to_date(ts)) // F9: future ⇒ null ⇒ next
     }
-    coalesce(tries: _*)
+    if (tries.isEmpty) lit(null).cast("date") else coalesce(tries: _*)
   }
 }

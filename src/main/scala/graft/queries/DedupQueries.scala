@@ -188,6 +188,9 @@ object DedupQueries {
     //    so overlap ≤ 1 + min(na−ra, nb−rb) must still reach
     //    α = ceil(t(na+nb)/(1+t)); a qualifying pair always survives
     //    via w*, so `exists a passing shared shingle` is sound.
+    // (A posting-list formulation — groupBy(shingle) + local pair
+    // expansion — was measured 1.3-1.7× slower at bench scale because
+    // the prefix relation broadcasts; the self-join stays the default.)
     val candidates = prefix.select(col("doc_id").as("doc_a"),
         col("shingle"), col("r").as("ra"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle"),

@@ -183,9 +183,12 @@ object ExtractQueries {
       .select(col("doc_id"), col("source"),
         SourceProfiles.bySource(col("source"))(p =>
           SourceProfiles.uniqueId(p, col("url"), col("html"))).as("unique_id"),
-        SourceProfiles.bySource(col("source"))(p =>
+        coalesce(
+          SourceProfiles.bySource(col("source"))(p =>
+            DateExtract.cascade(col("html"),
+              lit("2021-01-01").cast("date"), p.dateExtras)),
           DateExtract.publishedDate(col("html"),
-            lit("2021-01-01").cast("date"), p.dateExtras)).as("pubdate"),
+            lit("2021-01-01").cast("date"))).as("pubdate"),
         concat_ws("|", SourceProfiles.keywords(col("html")))
           .as("keywords_joined"),
         concat_ws("|", SourceProfiles.bySource(col("source"))(p =>

@@ -383,6 +383,39 @@ object MiscQueries {
        |ORDER BY idx""".stripMargin
   }
 
+  /** q_json_to_csv — the json-to-csv sink shape
+    * (mod_json_to_csv.py:113-130 described contract; a TODO-stub in the
+    * reference): first-seen dedupe by url ("check if news event already
+    * exists"), text body dropped, array attributes flattened for CSV.
+    * Duplicate article rows are injected (every 6th) so the dedupe is
+    * actually exercised.
+    */
+  private def jsonToCsv(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.urls(s, dir)
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    val arts = u.join(d, "doc_id").select(
+      col("url"), col("doc_id"), col("source").as("module"),
+      date_add(lit("2020-01-01").cast("date"),
+        (col("doc_id") % 30).cast("int")).as("pubdate"),
+      concat(lit("Story "), col("doc_id").cast("string")).as("title"),
+      col("text"),
+      length(col("text")).cast("long").as("text_size"),
+      split(substring(col("text"), 1, 20), " ").as("keywords"))
+    val withDups = arts.unionByName(arts.filter(col("doc_id") % 6 === 0))
+    graft.operators.ArticleSinks.csvWritable(
+        graft.operators.ArticleSinks.csvRows(withDups))
+      .orderBy("doc_id")
+  }
+
+  private val jsonToCsvSql = Tables.withUrls(
+    """SELECT u.url, u.doc_id, u.source AS module,
+      |  (DATE '2020-01-01' + INTERVAL (u.doc_id % 30) DAY)::DATE AS pubdate,
+      |  concat('Story ', CAST(u.doc_id AS VARCHAR)) AS title,
+      |  CAST(length(d.text) AS BIGINT) AS text_size,
+      |  array_to_string(string_split(substr(d.text, 1, 20), ' '), '|') AS keywords
+      |FROM urls u JOIN documents d ON u.doc_id = d.doc_id
+      |ORDER BY u.doc_id""".stripMargin)
+
   /** q_master_scan — S10 master-data side scan (mod_in_nse.py:67-77,
     * 318-334): the 9 fixed master CSV URLs are fetched once and skipped
     * on every later run (masterDataExtractedFlag / file-exists check) —
@@ -572,6 +605,7 @@ object MiscQueries {
       |ORDER BY doc_id, member""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_json_to_csv", jsonToCsv, Some(jsonToCsvSql)),
     QueryDef("q_master_scan", masterScan, Some(masterScanSql)),
     QueryDef("q_bhavcopy_parse", bhavcopyParse, Some(bhavcopyParseSql)),
     QueryDef("q_announce_parse", announceParse, Some(announceParseSql)),

@@ -119,9 +119,16 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         SourceProfiles.bySource(col("source"))(p =>
           SourceProfiles.uniqueId(p, col("url"), html)).as("uniqueId"),
         col("source").as("module"),
-        SourceProfiles.bySource(col("source"))(p =>
-          graft.functions.DateExtract
-            .publishedDate(html, current_date(), p.dateExtras)).as("pubdate"),
+        // per-source date EXTRAS dispatch + ONE shared base cascade:
+        // coalesce(cascade(extras), cascade(base)) ≡ cascade(extras++base)
+        // per profile, without duplicating the 15-pattern base stack
+        // into every dispatch branch
+        coalesce(
+          SourceProfiles.bySource(col("source"))(p =>
+            graft.functions.DateExtract
+              .cascade(html, current_date(), p.dateExtras)),
+          graft.functions.DateExtract.publishedDate(html, current_date()))
+          .as("pubdate"),
         regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
         TextClean.cleanText(col("_body")).as("text"),
         length(col("_body")).cast("long").as("textSize"),

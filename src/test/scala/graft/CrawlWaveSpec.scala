@@ -364,6 +364,23 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(stats(1).scheduled > 0)
   }
 
+  test("json-to-csv and solr sink shapes (mod_json_to_csv.py:113-130, " +
+      "mod_solrsubmit.py:74-103)") {
+    val e = newEngine()
+    e.runWave()
+    val out = tempDir("csv-sink")
+    graft.operators.ArticleSinks.writeCsv(e.articlesNow(), out)
+    val back = spark.read.option("header", "true").csv(out)
+    // one row per distinct url, text body dropped, per-pubdate layout
+    assert(back.count() ==
+      e.articlesNow().select("url").distinct().count())
+    assert(!back.columns.contains("text"))
+    assert(back.columns.contains("pubdate"))
+    val solr = graft.operators.ArticleSinks.solrDocs(e.articlesNow())
+    assert(solr.columns.toSeq == Seq("id", "url", "title", "text", "pubdate"))
+    assert(solr.filter(col("text") =!= trim(col("text"))).count() == 0)
+  }
+
   test("hot hosts are budget-capped per wave") {
     val e = newEngine()
     val s1 = e.runWave()
