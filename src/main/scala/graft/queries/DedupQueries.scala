@@ -99,11 +99,16 @@ object DedupQueries {
     */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(corpus(s, dir))
-    val bands = sh.crossJoin(
-        s.range(4).select(col("id").cast("int").as("band")))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"),
-        col("shingle")))).as("sig"))
+    // all 4 band minima in ONE map-side-combinable aggregation pass (no
+    // shingle×band cross join — that quadruples the shuffle volume),
+    // then stack() unpivots to (band, sig) for the bucket join
+    val sigs = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("shingle")))).as("s0"),
+      min(md5(concat(lit("1:"), col("shingle")))).as("s1"),
+      min(md5(concat(lit("2:"), col("shingle")))).as("s2"),
+      min(md5(concat(lit("3:"), col("shingle")))).as("s3"))
+    val bands = sigs.select(col("doc_id"),
+      expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))

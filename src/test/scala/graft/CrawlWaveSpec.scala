@@ -291,6 +291,47 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(row._5.isEmpty, s"industries ${row._5}")
   }
 
+  test("timesofindia + indiakanoon fixtures end-to-end through the ENGINE " +
+      "(test_mod_en_in_timesofindia.py:114-142, test_mod_en_in_indiakanoon.py:110-135)") {
+    import java.io.{BufferedInputStream, FileInputStream}
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = new BZip2CompressorInputStream(new BufferedInputStream(
+        new FileInputStream(s"/root/reference/test-data/$name")))
+      try in.readAllBytes() finally in.close()
+    }
+    val toiUrl = "https://timesofindia.indiatimes.com/blogs/toi-edit-page/" +
+      "as-communal-riots-exploded-in-delhi-elected-representatives-were-" +
+      "missing-on-the-ground-when-residents-needed-them-most/"
+    val kanoonUrl = "https://indiankanoon.org/doc/49865912/"
+    val pages = Seq(
+      (toiUrl, fixture("mod_en_in_timesofindia_0xa2097d6c.html.bz2")),
+      (kanoonUrl, fixture("mod_en_in_indiakanoon_49865912.html.bz2")))
+      .toDF("url", "html")
+    val seeds = Seq((toiUrl, "timesofindia", 0, 1L),
+      (kanoonUrl, "indiakanoon", 0, 2L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-toi-kanoon-e2e"), pages,
+      emptyRobots, cfg(2, 2))
+    e.init(seeds)
+    e.runWave()
+    val rows = e.articlesNow()
+      .select(col("module"), col("uniqueId"), col("pubdate").cast("string"),
+        col("textSize"))
+      .as[(String, String, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // TOI pins: articleID '134129' (P5 data-articlemsid REPLACES the url
+    // stack), pubdate 2020-03-14, body 1210 chars
+    assert(rows("timesofindia") == (("134129", "2020-03-14", 1210L)),
+      s"toi got ${rows("timesofindia")}")
+    // indiakanoon pins: articleID '49865912' (P4 doc-url stack), pubdate
+    // 2021-01-27 (per-plugin '%d %B, %Y' TITLE extra), textSize > 10000
+    val k = rows("indiakanoon")
+    assert(k._1 == "49865912" && k._2 == "2021-01-27" && k._3 > 10000L,
+      s"kanoon got $k")
+  }
+
   test("dedupe post-processor tombstones the smaller near-duplicate") {
     import spark.implicits._
     // two sources publish near-identical bodies on the same date; a third
