@@ -183,8 +183,12 @@ object DedupQueries {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = sh.join(df, "shingle")
       .withColumn("r", row_number().over(wDoc))
-      // prefix length = n - ceil(0.59*n) + 1, ceil in exact integers
-      .filter(col("r") <= col("n") - expr("(n*59 + 99) DIV 100") + 1)
+      // prefix length = n - ceil(0.59*n) + 1, ceil in exact integers;
+      // df-1 shingles stay in the RANKING (positions must count them)
+      // but can never witness a pair (a shared shingle has df ≥ 2), so
+      // they are dropped from the candidate join input
+      .filter(col("r") <= col("n") - expr("(n*59 + 99) DIV 100") + 1 &&
+        col("df") >= 2)
       .select("doc_id", "shingle", "r", "n")
     // PPJoin-style candidate pruning, all lossless for J ≥ 0.59:
     //  - length filter: t·nb ≤ na (and symmetric);
