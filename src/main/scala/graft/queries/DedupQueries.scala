@@ -289,14 +289,27 @@ object DedupQueries {
       date_add(lit("2020-01-01").cast("date"),
         ((col("doc_id") % 100000) % 30).cast("int")).as("pubdate"),
       length(col("text")).cast("long").as("textSize"))
+    // geometric size bucket (ratio 1/0.85): the ≤15%-of-max gap predicate
+    // only pairs docs in the same or adjacent buckets, so the candidate
+    // join key is (pubdate, bucket) — one side emits bucket ±1 — and a
+    // day's pair space is Σ_bucket |bucket|² instead of |day|². Lossless;
+    // the oracle keeps the pubdate-only join as the exactness check.
+    def bucketOf(size: org.apache.spark.sql.Column) =
+      floor(log(greatest(size, lit(1L)).cast("double")) /
+        math.log(1.0 / 0.85)).cast("int")
     val a = c.select(col("doc_id").as("id_a"), col("module").as("mod_a"),
-      col("pubdate"), col("textSize").as("size_a"), col("text").as("text_a"))
+      col("pubdate"), col("textSize").as("size_a"),
+      bucketOf(col("textSize")).as("bucket"))
     val b = c.select(col("doc_id").as("id_b"), col("module").as("mod_b"),
-      col("pubdate"), col("textSize").as("size_b"), col("text").as("text_b"))
-    val candidates = a.join(b, Seq("pubdate"))
+      col("pubdate"), col("textSize").as("size_b"))
+      .withColumn("bucket", explode(array(
+        bucketOf(col("size_b")) - 1, bucketOf(col("size_b")),
+        bucketOf(col("size_b")) + 1)))
+    val candidates = a.join(b, Seq("pubdate", "bucket"))
       .filter(col("id_a") < col("id_b") && col("mod_a") =!= col("mod_b") &&
         abs(col("size_a") - col("size_b")) <=
           greatest(col("size_a"), col("size_b")) * 0.15)
+      .drop("bucket")
     // token-count-vector cosine via word explode on the candidate pairs
     val counts = c.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
