@@ -21,7 +21,7 @@ object ArticleSinks {
 
   /** Deduped, text-free CSV projection (column order preserved). */
   def csvRows(articles: DataFrame): DataFrame = {
-    val others = articles.columns.filterNot(_ == "url")
+    val others = articles.columns.filterNot(_ == "url").toSeq
     articles
       .groupBy("url").agg(min(struct(others.map(col): _*)).as("_r"))
       .select(col("url") +: others.map(c => col(s"_r.$c").as(c)): _*)

@@ -326,7 +326,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     // enrichment columns appended by postProcessArticles (triggerwords,
     // classification) survive regardless of processor order.
     val artsFull = articlesT.readFull(articleSchema)
-    val arts = artsFull.select(articleSchema.fieldNames.map(col): _*)
+    val arts = artsFull.select(articleSchema.fieldNames.toSeq.map(col): _*)
     val tomb = graft.operators.DedupeArticles.tombstones(arts, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = tomb.count()
