@@ -111,6 +111,22 @@ object SourceProfiles {
     authorRegexes = Seq(
       "(<div class=\"docsource_main\">)([a-zA-Z0-9 \\-]{4,})(</div>)"))
 
+  /** mod_en_in_ndtv.py:201-218: url-ID stack + 3 date extras (the
+    * space-padded ISO content meta, Updated-IST with full month name,
+    * and a date-only datePublished); no author/industry regexes.
+    */
+  val ndtv: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(^http.+\\/\\/)(www.ndtv.com\\/.+\\-)([0-9]{5,})",
+      "(^http.+\\/\\/)(www.ndtv.com\\/.+\\-)([0-9]{5,})(\\?)"),
+    dateExtras = Seq(
+      ("(content = \")(20[0-9]{2}\\-[0-9]{2}\\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\\+05:30\")",
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      ("(Updated: )([a-zA-Z]+ [0-9]{1,2}, 20[0-9]{2} [0-9]{1,2}:[0-9]{2})( [a-zA-Z]{2} IST)",
+        "MMMM d, yyyy H:mm"),
+      ("(\"datePublished\":\")([0-9]{4}-[0-9]{2}-[0-9]{2})(T[0-9]{2}:[0-9]{2}:[0-9]{2}\\+05:30\")",
+        "yyyy-MM-dd")))
+
   /** Generic profile (synthetic sources): base url stack + the JSON-LD
     * Person author pattern with comma split (the newspaper-lib analog).
     */
@@ -122,12 +138,13 @@ object SourceProfiles {
     "ecotimes" -> ecotimes,
     "timesofindia" -> timesofindia,
     "trak" -> trak,
-    "indiakanoon" -> indiakanoon
+    "indiakanoon" -> indiakanoon,
+    "ndtv" -> ndtv
   ).withDefaultValue(default)
 
   /** Sources with non-default profiles (drives the per-row dispatch). */
   val knownSources: Seq[String] =
-    Seq("ecotimes", "timesofindia", "trak", "indiakanoon")
+    Seq("ecotimes", "timesofindia", "trak", "indiakanoon", "ndtv")
 
   // ---- per-profile column builders ----------------------------------------
 

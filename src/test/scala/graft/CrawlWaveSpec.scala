@@ -305,12 +305,15 @@ class CrawlWaveSpec extends SparkTestBase {
       "as-communal-riots-exploded-in-delhi-elected-representatives-were-" +
       "missing-on-the-ground-when-residents-needed-them-most/"
     val kanoonUrl = "https://indiankanoon.org/doc/49865912/"
+    val ndtvUrl = "https://www.ndtv.com/business/dollar-rises-on-us-" +
+      "recovery-hopes-bitcoin-hits-near-record-52-640-2373245"
     val pages = Seq(
       (toiUrl, fixture("mod_en_in_timesofindia_0xa2097d6c.html.bz2")),
-      (kanoonUrl, fixture("mod_en_in_indiakanoon_49865912.html.bz2")))
+      (kanoonUrl, fixture("mod_en_in_indiakanoon_49865912.html.bz2")),
+      (ndtvUrl, fixture("mod_en_in_ndtv_2373245.html.bz2")))
       .toDF("url", "html")
     val seeds = Seq((toiUrl, "timesofindia", 0, 1L),
-      (kanoonUrl, "indiakanoon", 0, 2L))
+      (kanoonUrl, "indiakanoon", 0, 2L), (ndtvUrl, "ndtv", 0, 3L))
       .toDF("url", "source", "priority", "seq")
     val e = new CrawlEngine(spark, tempDir("crawl-toi-kanoon-e2e"), pages,
       emptyRobots, cfg(2, 2))
@@ -330,6 +333,11 @@ class CrawlWaveSpec extends SparkTestBase {
     val k = rows("indiakanoon")
     assert(k._1 == "49865912" && k._2 == "2021-01-27" && k._3 > 10000L,
       s"kanoon got $k")
+    // ndtv pins (test_mod_en_in_ndtv.py:114-124): articleID '2373245',
+    // pubdate 2021-02-18, textSize > 3000
+    val n = rows("ndtv")
+    assert(n._1 == "2373245" && n._2 == "2021-02-18" && n._3 > 3000L,
+      s"ndtv got $n")
   }
 
   test("dedupe post-processor tombstones the smaller near-duplicate") {
