@@ -51,7 +51,7 @@ object BenchProbe {
           SyntheticPages.hostIdOf(id, 2000, 3))), lit(64L)).cast("int")
           .as("hostHash"),
         (id % 4).cast("int").as("priority"), lit(0L).as("waveDiscovered"),
-        id.as("seq"), lit(0).as("attempts"))
+        id.as("seq"), lit(0).as("attempts"), lit(0).as("depth"))
     }
     def seen(n: Long) =
       spark.range(n).select(

@@ -56,7 +56,8 @@ object ScalingBench {
       (id % 4).cast("int").as("priority"),
       lit(0L).as("waveDiscovered"),
       id.as("seq"),
-      lit(0).as("attempts"))
+      lit(0).as("attempts"),
+      lit(0).as("depth"))
   }
 
   private def benchSeen(spark: SparkSession, n: Long): DataFrame =
@@ -76,11 +77,13 @@ object ScalingBench {
     */
   private def cpuControl(spark: SparkSession, cores: Int): Double = {
     val n = 2000000000L
-    spark.range(n / 4).agg(expr("bit_xor(xxhash64(id))")).collect()
+    // numSlices pinned to the level's core count so the control measures
+    // exactly `cores`-way parallelism, independent of session defaults
+    spark.range(0L, n / 4, 1L, cores).agg(expr("bit_xor(xxhash64(id))")).collect()
     var best = Double.MaxValue
     (1 to 3).foreach { _ =>
       val t0 = System.nanoTime()
-      spark.range(n).agg(expr("bit_xor(xxhash64(id))")).collect()
+      spark.range(0L, n, 1L, cores).agg(expr("bit_xor(xxhash64(id))")).collect()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
     n / best

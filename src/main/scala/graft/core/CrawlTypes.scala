@@ -31,7 +31,11 @@ final case class FrontierRow(
     priority: Int,
     waveDiscovered: Long,
     seq: Long,
-    attempts: Int)
+    attempts: Int,
+    /** BFS depth from the wave-0 seeds (seeds = 0, their links = 1, …);
+      * gates link expansion per URL against maxFrontierDepth.
+      */
+    depth: Int)
 
 /** One seen URL — union of the reference's URL_LIST / FAILED_URLS /
   * HTTP_ERRORS tables (session_hist.py:112-131) with a status
@@ -102,9 +106,17 @@ final case class SchedulerConfig(
       */
     bloomExpectedTotal: Long = 4L * 1024 * 1024,
     maxLinksPerPage: Int = 500,
+    /** W4's SECOND cap (worker.py:390-396): at most this many NEW links
+      * per fetched page survive into the pending frontier at save time —
+      * applied AFTER the seen/frontier anti-join, per parent page.
+      */
+    maxLinksPerSave: Int = 100,
     /** BFS recursion cap (base_plugin.py:876-951 stops link expansion at
-      * depth ≤ 4): waves beyond this depth drain pending URLs but
-      * discover no new links (enforced in CrawlEngine.runWave).
+      * depth ≤ 4): a fetched URL expands links only while its OWN depth
+      * is below this (per-row `depth` in the frontier, seeds = 0). The
+      * cap is per-URL, not per-wave: a backlogged shallow URL fetched in
+      * a late wave still expands (the reference re-includes pending URLs
+      * in each run's recursion).
       */
     maxFrontierDepth: Int = 4,
     /** Rewrite (compact) the append-only frontier every N waves; between

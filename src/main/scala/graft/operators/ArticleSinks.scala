@@ -46,10 +46,17 @@ object ArticleSinks {
     }
 
   /** Write the per-pubdate CSV tree (one directory per publish date —
-    * the reference's one-CSV-per-date layout).
+    * the reference's one-CSV-per-date layout). The date cascade can find
+    * nothing while textSize keeps the article, so a null pubdate is
+    * coalesced to an explicit `undated` sentinel before partitionBy —
+    * otherwise those rows land in __HIVE_DEFAULT_PARTITION__ and read
+    * back as that literal string, breaking the one-CSV-per-real-date
+    * contract.
     */
   def writeCsv(articles: DataFrame, path: String): Unit =
     csvWritable(csvRows(articles))
+      .withColumn("pubdate",
+        coalesce(col("pubdate").cast("string"), lit("undated")))
       .write.mode("overwrite").option("header", "true")
       .partitionBy("pubdate").csv(path)
 

@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
 object DedupeArticles {
 
   /** Geometric size bucket: floor(ln size / ln(1/0.85)). Two sizes
-    * within the 15%-of-max gap differ by at most one bucket.
+    * within the 15%-of-max gap differ by at most one bucket. Guarded
+    * with greatest(size, 1) so non-positive sizes can't null the log and
+    * silently drop the row from the candidate join — the helper must be
+    * safe independent of the caller's minTextSize filter.
     */
   private def sizeBucket(size: org.apache.spark.sql.Column) =
-    floor(log(size.cast("double")) / math.log(1.0 / 0.85)).cast("int")
+    floor(log(greatest(size, lit(1L)).cast("double")) /
+      math.log(1.0 / 0.85)).cast("int")
 
   /** Victim rows (pubdate, url, keptUrl, cos) — the reference's
     * `deleted_duplicates` tombstones (session_hist.py:118-125). When one

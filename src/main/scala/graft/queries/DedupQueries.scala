@@ -177,7 +177,15 @@ object DedupQueries {
     * ceil) so 4-decimal rounding at the 0.6 boundary cannot drop a pair.
     */
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(corpus(s, dir)) // (doc_id, n, shingle), distinct
+    // (doc_id, n, shingle), distinct — persisted because the plan reads
+    // this subtree FOUR times (df ranking, prefix, and both sides of the
+    // common-count join); uncached, split+transform+explode over the full
+    // corpus re-runs per read (measured 31s vs ~8s at the sf0.1 bench).
+    // MEMORY_AND_DISK so the exploded relation spills instead of OOMing
+    // at corpus scale; CacheManager dedups by canonicalized plan, so the
+    // survivors query (which re-enters here) shares the same cache entry.
+    val sh = shingleRows(corpus(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))

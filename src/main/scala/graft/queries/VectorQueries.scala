@@ -31,8 +31,18 @@ object VectorQueries {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  // (cosine-with-inline-norms was deliberately removed: every call site
+  // now uses cosPre with per-side precomputed norm columns)
+
+  /** Cosine from a per-pair dot and two PRE-COMPUTED norms. The norms
+    * must be bound as real columns on each side BEFORE the join: calling
+    * norm() inside the pair expression re-evaluates the O(dim)
+    * higher-order fold once per pair row (N norms recomputed Q times
+    * each in topk) — precomputing cuts that to once per input row and is
+    * float-identical (same doubles, same multiply).
+    */
+  private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /** q_vector_topk — brute-force cosine top-5 neighbors for every 100th
     * vector (the exact-rerank baseline). Query side is tiny → broadcast;
@@ -40,11 +50,13 @@ object VectorQueries {
     * over Q·N rows bounded by Q≈N/100.
     */
   private def topk(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
+        col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -82,12 +94,14 @@ object VectorQueries {
   private def lsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).withColumn("bucket",
       signBucket(col("embedding"), 12))
+      .withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket"))
+        col("bucket"), col("nrm").as("qnrm"))
     val pairs = e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
+        col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -151,12 +165,16 @@ object VectorQueries {
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
         col("label")))
       .withColumn("bucket", signBucket(col("embedding"), 12))
+      .withColumn("nrm", norm(col("embedding")))
     val a = e.select(col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("label"), col("bucket"))
+      col("embedding").as("va"), col("label"), col("bucket"),
+      col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("label"), col("bucket"))
+      col("embedding").as("vb"), col("label"), col("bucket"),
+      col("nrm").as("nb"))
     a.join(b, Seq("label", "bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(cosPre(col("va"), col("vb"),
+        col("na"), col("nb")), 6))
       .filter(col("cos") >= 0.95)
       .select("label", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
@@ -204,17 +222,23 @@ object VectorQueries {
 
   /** Integer score encoding (cosine rounded at 1e-6, tie → smaller
     * cent_id): argmax over it is deterministic and engine-portable.
+    * Takes PRE-COMPUTED norms (nv for the vector, ncv for the centroid)
+    * so the N×K assignment doesn't re-fold norm(v) once per centroid.
     */
-  private def centScore(v: Column, cv: Column): Column =
-    round(cosine(cv, v) * 1e6, 0).cast("bigint") * 1000 - col("cent_id")
+  private def centScore(v: Column, cv: Column, nv: Column,
+                        ncv: Column): Column =
+    round(dot(cv, v) / (ncv * nv) * 1e6, 0).cast("bigint") * 1000 -
+      col("cent_id")
 
   private def ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     // --- train: one Lloyd step from the first-ivfCells seeds ----------
     val seeds = e.filter(col("vec_id") < ivfCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        col("nrm").as("cnrm"))
     val seedCell = e.crossJoin(broadcast(seeds))
-      .withColumn("score", centScore(col("embedding"), col("cv")))
+      .withColumn("score", centScore(col("embedding"), col("cv"),
+        col("nrm"), col("cnrm")))
       .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
     val comps = e.join(seedCell, "vec_id")
       .select(col("cell"), posexplode(transform(col("embedding"),
@@ -226,24 +250,30 @@ object VectorQueries {
         transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           x => x.getField("comp")).as("cv"))
       .select(col("cell").as("cent_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
     // --- assign: argmax aggregation over the broadcast centroids ------
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("score", centScore(col("embedding"), col("cv")))
+      .withColumn("score", centScore(col("embedding"), col("cv"),
+        col("nrm"), col("cnrm")))
       .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
       .join(e, "vec_id")
     // --- probe: each query ranks the K centroids, keeps nprobe cells --
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("score", centScore(col("qv"), col("cv")))
+      .withColumn("score", centScore(col("qv"), col("cv"),
+        col("qnrm"), col("cnrm")))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= ivfNprobe)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("cent_id").as("cell"))
     // --- search: only the probed cells ---------------------------------
     val pairs = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
+        col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -39,7 +39,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     StructField("host", StringType), StructField("hostHash", IntegerType),
     StructField("priority", IntegerType),
     StructField("waveDiscovered", LongType), StructField("seq", LongType),
-    StructField("attempts", IntegerType)))
+    StructField("attempts", IntegerType), StructField("depth", IntegerType)))
 
   val seenSchema: StructType = StructType(Seq(
     StructField("url", StringType), StructField("source", StringType),
@@ -80,7 +80,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       hostHashCol(U.host(col("url"))).as("hostHash"),
       col("priority").cast("int").as("priority"),
       lit(0L).as("waveDiscovered"), col("seq").cast("long").as("seq"),
-      lit(0).as("attempts"))
+      lit(0).as("attempts"), lit(0).as("depth"))
     frontierT.commitReplace(f, 0L, Map("seeded" -> f.count()))
     seenT.commitReplace(seenT.read(seenSchema).limit(0), 0L)
     articlesT.commitReplace(articlesT.read(articleSchema).limit(0), 0L)
@@ -143,21 +143,32 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   }
 
   /** Discover next-wave frontier rows from fetched pages (S5 link
-    * extraction → F6 filters → first-seen dedupe → J1 anti-join).
+    * extraction → F6 filters → first-seen dedupe → J1 anti-join →
+    * W4's per-save cap).
+    *
+    * Depth cap (base_plugin.py:876-951): gated on each fetched URL's OWN
+    * `depth`, not on the wave counter — with politeness budgets the
+    * frontier backlogs, so a depth-1 URL may only be fetched in wave 5+;
+    * the reference re-includes pending URLs in every run's recursion and
+    * would still expand it. Children carry depth + 1.
     */
   private def discoverLinks(fetched: DataFrame, waveId: Long,
                             seen: DataFrame, frontier: DataFrame): DataFrame = {
     val html = col("html").cast("string")
-    val links = fetched.select(
+    val links = fetched
+      .filter(col("depth") < cfg.maxFrontierDepth)
+      .select(
         col("url").as("parentUrl"), col("source"),
         col("priority"), col("seq").as("parentSeq"),
+        (col("depth") + 1).as("depth"),
         posexplode(slice(U.extractLinks(col("url"), html), 1,
           math.min(cfg.maxLinksPerPage, 999))))
       .select(
         lower(col("col")).as("url"), col("source"),
         col("priority"),
         lit(waveId).as("waveDiscovered"),
-        (col("parentSeq") * 1000 + col("pos") + 1).as("seq"))
+        (col("parentSeq") * 1000 + col("pos") + 1).as("seq"),
+        col("depth"))
       .filter(U.isValidUrl(col("url")))
     // first-seen dedupe within the wave (P14): smallest seq wins
     val w = org.apache.spark.sql.expressions.Window
@@ -169,12 +180,22 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     // is append-only and scheduled rows came from it, so seen ∪ frontier
     // covers pending + scheduled + completed)
     val known = seen.select("url").unionByName(frontier.select("url"))
-    deduped.join(known, Seq("url"), "left_anti")
+    val fresh = deduped.join(known, Seq("url"), "left_anti")
+    // W4's SECOND cap (worker.py:390-396): ≤ maxLinksPerSave NEW links
+    // per page survive into pending, in discovery (seq) order. Applied
+    // after the anti-join, exactly like the reference (it filters
+    // already-pending/seen first, then inserts up to the cap). The
+    // parent page is recoverable from the seq encoding: seq DIV 1000.
+    val wSave = org.apache.spark.sql.expressions.Window
+      .partitionBy(floor(col("seq") / 1000)).orderBy(col("seq"))
+    fresh
+      .withColumn("_sn", row_number().over(wSave))
+      .filter(col("_sn") <= cfg.maxLinksPerSave)
       .select(col("url"), col("source"),
         U.host(col("url")).as("host"),
         hostHashCol(U.host(col("url"))).as("hostHash"),
         col("priority"), col("waveDiscovered"), col("seq"),
-        lit(0).as("attempts"))
+        lit(0).as("attempts"), col("depth"))
   }
 
   /** Run the next wave; returns its stats. Re-running after a partial
@@ -216,13 +237,11 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         lit(0).as("httpCode"), lit(null).cast(DateType).as("pubdate"),
         lit(0L).as("rawsize"), lit(0L).as("datasize")))
 
-    // Depth cap (base_plugin.py:876-951: recursive link expansion stops
-    // at level ≤ 4): each wave is one BFS level from the wave-0 seeds, so
-    // waves beyond maxFrontierDepth drain the pending frontier but
-    // discover no further links.
-    val newLinks = (if (waveId > cfg.maxFrontierDepth)
-        discoverLinks(fetched, waveId, seen, frontier).limit(0)
-      else discoverLinks(fetched, waveId, seen, frontier))
+    // Depth cap lives INSIDE discoverLinks, per fetched URL's own depth
+    // (base_plugin.py:876-951) — never on the wave counter, which would
+    // silently stop expanding backlogged shallow URLs once the frontier
+    // outruns the politeness budgets.
+    val newLinks = discoverLinks(fetched, waveId, seen, frontier)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE aggregation action yields wave totals AND the north rule's

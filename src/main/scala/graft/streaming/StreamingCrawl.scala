@@ -41,7 +41,7 @@ object StreamingCrawl {
         F.pmod(F.xxhash64(graft.functions.UrlFunctions.host(F.col("url"))),
           F.lit(engine.cfg.numPartitions.toLong)).cast("int").as("hostHash"),
         F.col("priority"), F.lit(wave).as("waveDiscovered"), F.col("seq"),
-        F.lit(0).as("attempts"))
+        F.lit(0).as("attempts"), F.lit(0).as("depth"))
       engine.frontierT.commitAppend(rows, wave,
         Map("streamed_seeds" -> rows.count()))
     }

@@ -212,7 +212,8 @@ class CrawlWaveSpec extends SparkTestBase {
       (col("id") % 3).cast("int").as("priority"),
       lit(0L).as("waveDiscovered"),
       col("id").as("seq"),
-      lit(0).as("attempts"))
+      lit(0).as("attempts"),
+      lit(0).as("depth"))
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("url", "scheduleRank").as[(String, Int)].collect().toSet
     val win = key(Scheduler.topKPerHost(frontier, 3L, c))
@@ -405,12 +406,73 @@ class CrawlWaveSpec extends SparkTestBase {
     val e = new CrawlEngine(spark, tempDir("crawl-depth"), pages,
       emptyRobots, cfg(4, 4).copy(maxFrontierDepth = 1))
     e.init(SyntheticPages.seeds(spark, 40))
-    val stats = e.runWaves(3)
+    val stats = e.runWaves(5)
     assert(stats(0).newLinks > 0, "wave 1 is within the depth cap")
-    assert(stats(1).newLinks == 0 && stats(2).newLinks == 0,
-      s"waves beyond the cap must discover nothing: ${stats.map(_.newLinks)}")
+    // the cap is per-URL: no frontier row ever exceeds depth 1, and once
+    // the depth-0 seeds are drained, discovery dries up for good (earlier
+    // waves MAY still discover — backlogged seeds legitimately expand)
+    assert(e.frontierT.read(e.frontierSchema)
+      .filter(col("depth") > 1).count() == 0)
+    assert(stats.last.newLinks == 0,
+      s"depth-1 URLs must never expand: ${stats.map(_.newLinks)}")
     // pending URLs discovered at the cap still drain in later waves
     assert(stats(1).scheduled > 0)
+  }
+
+  test("depth cap is per-URL: backlogged shallow URLs still expand in " +
+      "late waves (base_plugin.py getLinksRecursively over pending)") {
+    import spark.implicits._
+    // 30 depth-0 seeds all on ONE host: the politeness budget (5/wave)
+    // backlogs them, so waves 3-4 are still fetching depth-0 URLs. A
+    // wave-counter depth gate would silently stop expanding them; the
+    // per-URL gate must keep discovering links every wave.
+    val n = 30
+    def url(i: Int) = s"https://www.hub.com/articles/story-$i"
+    val pages = (0 until n).map { i =>
+      val links = (0 until 5)
+        .map(k => s"""<a href="${url(1000 + i * 5 + k)}">l</a>""").mkString
+      (url(i),
+        s"<html><head><title>t$i</title></head><body>$links</body></html>"
+          .getBytes("UTF-8"))
+    }.toDF("url", "html")
+    // seed seq starts at 1 so every child seq (parentSeq·1000+pos ≥ 1001)
+    // sorts AFTER all seeds — waves drain seeds strictly first
+    val seeds = (0 until n).map(i => (url(i), "synthetic", 0, (i + 1).toLong))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-depth-backlog"), pages,
+      emptyRobots, cfg(2, 2).copy(maxFrontierDepth = 1))
+    e.init(seeds)
+    val stats = e.runWaves(4)
+    assert(stats.forall(_.scheduled > 0))
+    assert(stats.forall(_.newLinks > 0),
+      s"backlogged depth-0 URLs must still expand: ${stats.map(_.newLinks)}")
+    // ...while their depth-1 children never do (cap still enforced)
+    assert(e.frontierT.read(e.frontierSchema)
+      .filter(col("depth") > 1).count() == 0)
+  }
+
+  test("W4 per-save link cap (worker.py:390-396): at most maxLinksPerSave " +
+      "new links per fetched page reach the pending frontier") {
+    import spark.implicits._
+    val links = (0 until 30)
+      .map(k => s"""<a href="https://www.hub.com/articles/a-$k">l</a>""")
+      .mkString
+    val pages = Seq(("https://www.hub.com/articles/story-0",
+      s"<html><head><title>t</title></head><body>$links</body></html>"
+        .getBytes("UTF-8"))).toDF("url", "html")
+    val seeds = Seq(("https://www.hub.com/articles/story-0", "synthetic", 0, 0L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-savecap"), pages,
+      emptyRobots, cfg(2, 2).copy(maxLinksPerSave = 10))
+    e.init(seeds)
+    val stats = e.runWave()
+    assert(stats.newLinks == 10,
+      s"expected the 10-per-save cap, got ${stats.newLinks}")
+    // the survivors are the FIRST 10 in on-page discovery (seq) order
+    val kept = e.frontierNow().filter(col("depth") === 1)
+      .select("url").as[String].collect().toSet
+    assert(kept ==
+      (0 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
   }
 
   test("json-to-csv and solr sink shapes (mod_json_to_csv.py:113-130, " +
