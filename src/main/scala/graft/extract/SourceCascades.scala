@@ -65,14 +65,30 @@ object SourceCascades {
   def articleStoryContent(html: String): String =
     HtmlExtract.allBlocksText(html, "div", "articlestorycontent")
 
+  /** mod_en_in_hindu.py:175-192: collects p.body paragraph text, then
+    * UNCONDITIONALLY overwrites it with div.articlestorycontent's text
+    * whenever that block exists (`articleText = body_root[0].getText()`
+    * runs after the paras loop) — the block has PRIORITY, the paragraphs
+    * are only what remains when it is absent. (Block-exists-but-empty is
+    * indistinguishable from block-absent here; both yield "" either way.)
+    */
   def hindu(html: String): String = {
-    val paras = HtmlExtract.textOnlyParagraphs(html, Seq("body"))
-    if (paras.nonEmpty) paras else articleStoryContent(html)
+    // find_all('p', {"class": 'body'}) + get_text() per para — every
+    // p.body ELEMENT's full subtree text, concatenated
+    val paras = HtmlExtract.allBlocksText(html, "p", "body")
+    val block = articleStoryContent(html)
+    if (block.nonEmpty) block else paras
   }
 
   /** mod_en_in_moneycontrol.py:425-433 — div.text_block text-only <p>s. */
   def moneycontrol(html: String): String =
     HtmlExtract.textOnlyParagraphs(html, Seq("text_block"))
+
+  /** mod_en_in_livemint.py:254-258 / mod_en_in_business_std.py:185-192:
+    * extractArticleBody returns "" unconditionally — config shells whose
+    * body always comes from the newspaper-library path in the reference.
+    */
+  def emptyBody(html: String): String = ""
 
   /** Generic fallback (synthetic pages): div.artText. */
   def default(html: String): String =
@@ -86,7 +102,9 @@ object SourceCascades {
     "inexp_business" -> (articleStoryContent(_)),
     "forbes" -> (articleStoryContent(_)),
     "hindu" -> (hindu(_)),
-    "moneycontrol" -> (moneycontrol(_))
+    "moneycontrol" -> (moneycontrol(_)),
+    "livemint" -> (emptyBody(_)),
+    "business_std" -> (emptyBody(_))
   ).withDefaultValue(default(_))
 
   /** Column API: body of `html` using the cascade for `source` (a

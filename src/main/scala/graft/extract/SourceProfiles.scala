@@ -39,7 +39,22 @@ object SourceProfiles {
       authorRegexes: Seq[String] = Seq(),
       splitAuthors: Boolean = true,
       industryTagPattern: Option[String] = None,
-      industryFromSubdomain: Boolean = false)
+      industryFromSubdomain: Boolean = false,
+      /** inexp_business prepends the BASE stack before its own regexes
+        * (`super().urlUniqueRegexps + self.urlUniqueRegexps`,
+        * mod_en_in_inexp_business.py:114) — every other plugin appends.
+        */
+      baseIdFirst: Boolean = false,
+      /** Single-search industry pattern (group 2 → one-element list):
+        * hindu's keywords meta (mod_en_in_hindu.py:146-151),
+        * moneycontrol's market_element div
+        * (mod_en_in_moneycontrol.py:392-395).
+        */
+      industryMetaPattern: Option[String] = None,
+      /** forbes extractAuthors: two chained cutStrBetweenTags calls
+        * ((start1, end1), (start2, end2)) — mod_en_in_forbes.py:149-162.
+        */
+      authorCutBetween: Option[((String, String), (String, String))] = None)
 
   /** mod_en_in_ecotimes.py:479-501. */
   val ecotimes: Profile = Profile(
@@ -127,6 +142,121 @@ object SourceProfiles {
       ("(\"datePublished\":\")([0-9]{4}-[0-9]{2}-[0-9]{2})(T[0-9]{2}:[0-9]{2}:[0-9]{2}\\+05:30\")",
         "yyyy-MM-dd")))
 
+  /** mod_en_in_hindu.py:95-125 — 4 url-ID regexes, 2 date extras
+    * (publish-date ISO meta, the literal `<none>\n`-prefixed IST form),
+    * 4 author regexes (comma-split like the base), keywords-meta
+    * industry (:146-151).
+    */
+  val hindu: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(https\\:\\/\\/)(www.thehindu.com\\/business\\/.*\\-)([0-9]+)(\\.ece$)",
+      "(https\\:\\/\\/www.thehindu.com\\/business\\/.*)(\\-)([0-9]+)(/$)",
+      "(https\\:\\/\\/www.thehindu.com\\/business\\/.*)(article)([0-9]+)(\\.ece)",
+      "(https:\\/\\/)(www.thehindu.com\\/news\\/.+\\/article)([0-9]{3,})(\\.ece)"),
+    dateExtras = Seq(
+      ("(<meta name=\"publish-date\" content=\")" +
+        "(20[0-9]{2}\\-[0-9]{2}\\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\\+05:30\")",
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      // January 22, 2015 15:30 IST (behind a literal "<none>\n" prefix)
+      ("(<none>\n)([a-zA-Z]{3,} [0-9]{1,2}, 20[0-9]{2} [0-9]{1,2}:[0-9]{2})( IST)",
+        "MMMM d, yyyy H:mm")),
+    authorRegexes = Seq(
+      "(tp.push\\(\\[\"setContentAuthor\", \")([a-zA-Z.\\- ]{3,})(\"\\]\\))",
+      "(<meta property=\"article:author\" content=\")([a-zA-Z_\\-. ]{3,})(\" \\/>)",
+      "('Author':')([a-zA-Z_\\-. ]{3,})(',)",
+      "('authorName' : ')([a-zA-Z.\\- ]{3,})(')"),
+    industryMetaPattern =
+      Some("(<meta name=\"keywords\" content=\")([a-zA-Z_\\-. ]{3,})(\" />)"))
+
+  /** mod_en_in_moneycontrol.py:354-365, 383-413 — 2 url-ID regexes, the
+    * to_timestamp hidden-input date extra, whole-string author append
+    * (no comma split), market_element industry.
+    */
+  val moneycontrol: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(^https\\:\\/\\/www.moneycontrol.com\\/.+)(_)([0-9]{6,})(\\.html$)",
+      "(https\\:\\/\\/www.moneycontrol.com\\/.+)(_)([0-9]{6,})(\\.html)"),
+    dateExtras = Seq(
+      ("(<input type=\"hidden\" id=\"to_timestamp\" value=\")" +
+        "(20[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2})(\">)",
+        "yyyyMMddHHmmss")),
+    authorRegexes = Seq("(\"author\": \")([a-zA-Z0-9 \\-\\._]{3,})(\")"),
+    splitAuthors = false,
+    industryMetaPattern =
+      Some("(<div class=\"market_element\">)([A-Za-z0-9\\-_\\. ]{3,})(<\\/div>)"))
+
+  /** mod_en_in_livemint.py:208-260 — one url-ID regex; everything else
+    * (dates, authors, industries, body) is deliberately empty in the
+    * reference (extractArticleBody returns "", :254-258) — config shell.
+    */
+  val livemint: Profile = Profile(
+    urlIdRegexes =
+      Seq("(https:\\/\\/)(www\\.livemint\\.com\\/.+\\-)([0-9]{5,})(\\.html)"))
+
+  /** mod_en_in_forbes.py:108-120, 149-162 — 3 url-ID regexes, the
+    * time-prefixed datePublished extra, cutStrBetweenTags author chain;
+    * extractIndustries discards its find result (:138-147) → always [].
+    */
+  val forbes: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(https\\:\\/\\/www\\.forbesindia\\.com\\/.+)(\\/)([0-9]{4,})(/[0-9]+)",
+      "(https\\:\\/\\/www\\.forbesindia\\.com\\/.+)(\\/)([0-9]{4,})",
+      "(https\\:\\/\\/www\\.forbesindia\\.com/article/.*)(\\-)([0-9]+)(\\.html)"),
+    dateExtras = Seq(
+      // "datePublished": "05:52:14 PM IST Jul 11, 2021"
+      ("(\"datePublished\": \"[0-9]{1,2}:[0-9]{2}:[0-9]{2} [AMP]{2} IST )" +
+        "([a-zA-Z]{3} [0-9]{1,2}, [0-9]{4})(\")",
+        "MMM d, yyyy")),
+    authorCutBetween = Some(
+      (("<span class = \"author_des\">By", "</span></span>"),
+        ("target = \"_blank\">", "</a>"))))
+
+  /** mod_en_in_business_std.py:127-156, 172-183 — 3 url-ID regexes, 3
+    * date extras, author from the author meta (whole string, no split).
+    */
+  val business_std: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(^http.+\\/\\/)(www.business\\-standard.com\\/.+\\-)([0-9]{5,})",
+      "(^http.+\\/\\/)(www.business\\-standard.com\\/article.+\\-)([0-9]{5,})(_1.html)",
+      "(^http.+\\/\\/)(www.business\\-standard.com\\/article.+article_id=)([0-9]{5,})(_*[0-9]*)"),
+    dateExtras = Seq(
+      ("(\"datePublished\": \")" +
+        "(20[0-9]{2}\\-[0-9]{2}\\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\\+05:30\")",
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      ("(content = \")([a-zA-Z]{3}, [0-9]{1,2} [a-zA-Z]{3} 20[0-9]{2} " +
+        "[0-9]{1,2}:[0-9]{2}:[0-9]{2} \\+0530)(\">)",
+        "EEE, d MMM yyyy H:mm:ss Z"),
+      ("(<strong>)([a-zA-Z]{3} [0-9]{1,2}, 20[0-9]{2})(<\\/strong>)",
+        "MMM d, yyyy")),
+    authorRegexes =
+      Seq("(<meta name=\"author\" content=\")([a-zA-Z0-9 _\\-]+)(\">)"),
+    splitAuthors = false)
+
+  /** mod_en_in_inexp_business.py:83-102 — 4 url-ID regexes appended
+    * AFTER the base stack (:114, unique among the plugins), 2 date
+    * extras (the `%dth  %B` double-space form relies on strptime's
+    * whitespace-run tolerance — publishedDate's space normalization is
+    * the Java equivalent). authorRegexps exist but extractAuthors
+    * (:129-152) `break`s before `authors = authorStr.split(',')` on a
+    * match and calls len(None) on a miss — authors are ALWAYS [] there;
+    * kept dead here too.
+    */
+  val inexp_business: Profile = Profile(
+    urlIdRegexes = Seq(
+      "(^https.*)(\\-)([0-9]+)(\\.html$)",
+      "(^https\\://indianexpress.com/article/.*)(\\-)([0-9]+)(/$)",
+      "(^https\\://indianexpress.com/article/.*)(\\-)([0-9]+)(\\.html$)",
+      "(^https\\:\\/\\/indianexpress.com\\/.*)(\\-)([0-9]{4,})(\\/)"),
+    baseIdFirst = true,
+    dateExtras = Seq(
+      ("(\"datePublished\":\")" +
+        "(20[0-9]{2}\\-[0-9]{2}\\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})" +
+        "(\\+05:30\",\"dateModified\")",
+        "yyyy-MM-dd'T'HH:mm:ss"),
+      ("(Published: <span>)([0-9]{1,}th[ ]+[A-Za-z]{3,} 20[0-9]{2} " +
+        "[0-9]{2}:[0-9]{2})( .M<\\/span>)",
+        "d'th' MMMM yyyy H:mm")))
+
   /** Generic profile (synthetic sources): base url stack + the JSON-LD
     * Person author pattern with comma split (the newspaper-lib analog).
     */
@@ -139,12 +269,20 @@ object SourceProfiles {
     "timesofindia" -> timesofindia,
     "trak" -> trak,
     "indiakanoon" -> indiakanoon,
-    "ndtv" -> ndtv
+    "ndtv" -> ndtv,
+    "hindu" -> hindu,
+    "moneycontrol" -> moneycontrol,
+    "livemint" -> livemint,
+    "forbes" -> forbes,
+    "business_std" -> business_std,
+    "inexp_business" -> inexp_business
   ).withDefaultValue(default)
 
   /** Sources with non-default profiles (drives the per-row dispatch). */
   val knownSources: Seq[String] =
-    Seq("ecotimes", "timesofindia", "trak", "indiakanoon", "ndtv")
+    Seq("ecotimes", "timesofindia", "trak", "indiakanoon", "ndtv",
+      "hindu", "moneycontrol", "livemint", "forbes", "business_std",
+      "inexp_business")
 
   // ---- per-profile column builders ----------------------------------------
 
@@ -158,13 +296,21 @@ object SourceProfiles {
         coalesce(nullif(regexp_extract(html, pat, 2), lit("")),
           U.crc32Hex(url))
       case None =>
-        U.uniqueId(url, p.urlIdRegexes ++ U.defaultIdRegexes)
+        U.uniqueId(url,
+          if (p.baseIdFirst) U.defaultIdRegexes ++ p.urlIdRegexes
+          else p.urlIdRegexes ++ U.defaultIdRegexes)
     }
 
   /** P21 authors: first matching regex's group(2); comma-split where the
     * plugin does (empty array when nothing matches).
     */
-  def authors(p: Profile, html: Column): Column = {
+  def authors(p: Profile, html: Column): Column = p.authorCutBetween match {
+    case Some(((s1, e1), (s2, e2))) =>
+      // forbes: two chained cutStrBetweenTags; empty result → []
+      val cut = graft.functions.TextClean.cutBetween(
+        graft.functions.TextClean.cutBetween(html, s1, e1), s2, e2)
+      when(length(cut) > 0, array(cut)).otherwise(array().cast("array<string>"))
+    case None =>
     if (p.authorRegexes.isEmpty) array().cast("array<string>")
     else {
       val first = coalesce(
@@ -185,9 +331,16 @@ object SourceProfiles {
       val token = element_at(split(U.host(url), "\\."), 1)
       when(token.isNotNull && token =!= "economictimes", array(token))
         .otherwise(array().cast("array<string>"))
-    } else p.industryTagPattern
-      .map(pat => regexp_extract_all(html, lit(pat), lit(2)))
-      .getOrElse(array().cast("array<string>"))
+    } else p.industryMetaPattern match {
+      case Some(pat) =>
+        // single re.search → at most one entry (hindu keywords meta,
+        // moneycontrol market_element)
+        val m = nullif(regexp_extract(html, pat, 2), lit(""))
+        when(m.isNotNull, array(m)).otherwise(array().cast("array<string>"))
+      case None => p.industryTagPattern
+        .map(pat => regexp_extract_all(html, lit(pat), lit(2)))
+        .getOrElse(array().cast("array<string>"))
+    }
 
   /** P18 keyword merge: `keywords` + `news_keywords` metas, comma-split,
     * trimmed, first-seen-deduped (news_event.py:360-385, :206-218).

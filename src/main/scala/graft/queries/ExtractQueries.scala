@@ -223,11 +223,128 @@ object ExtractQueries {
       |FROM (SELECT doc_id, CAST(doc_id % 5 AS INT) AS m FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_article_assembly_six — the six remaining content-plugin profiles
+    * (VERDICT r02 item 1): rows cycle through
+    * hindu/moneycontrol/livemint/forbes/business_std/inexp_business and
+    * run the REAL SourceProfiles operators — hindu's article-NNN.ece url
+    * id + publish-date meta + setContentAuthor + keywords-meta industry;
+    * moneycontrol's _NNNNNN.html id + to_timestamp date + unsplit author
+    * + market_element industry; livemint's url id (config shell
+    * otherwise); forbes' /NNNN/1 id + time-prefixed datePublished +
+    * cutStrBetweenTags author chain; business_std's -NNNNN id + spaced
+    * datePublished + author meta; inexp_business's BASE-FIRST id stack +
+    * dateModified-suffixed datePublished (authors deliberately dead, as
+    * in the reference). Oracle reconstructs every expected value from
+    * the same synthesis arithmetic.
+    */
+  private def articleAssemblySix(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.SourceProfiles
+    import graft.functions.DateExtract
+    val d = documents(s, dir)
+    val id = col("doc_id")
+    val m = (id % 6).cast("int")
+    val src = when(m === 0, "hindu").when(m === 1, "moneycontrol")
+      .when(m === 2, "livemint").when(m === 3, "forbes")
+      .when(m === 4, "business_std").otherwise("inexp_business")
+    val dayS = (id % 28 + 1).cast("string")
+    val dd = lpad(dayS, 2, "0")
+    val kwN = (id % 7).cast("string")
+    val url = when(m === 0,
+        concat(lit("https://www.thehindu.com/business/Industry/topic-article"),
+          (id + 70000).cast("string"), lit(".ece")))
+      .when(m === 1, concat(lit("https://www.moneycontrol.com/news/business/story_"),
+        (id + 600000).cast("string"), lit(".html")))
+      .when(m === 2, concat(lit("https://www.livemint.com/money/item-"),
+        (id + 50000).cast("string"), lit(".html")))
+      .when(m === 3, concat(lit("https://www.forbesindia.com/article/big-story/item/"),
+        (id + 8000).cast("string"), lit("/1")))
+      .when(m === 4, concat(lit("https://www.business-standard.com/article/pti-stories/story-"),
+        (id + 90000).cast("string"), lit("_1.html")))
+      .otherwise(concat(lit("https://www.newindianexpress.com/world/story-"),
+        (id + 20000).cast("string"), lit(".html")))
+    val kwMeta = concat(
+      lit("<meta name=\"keywords\" content=\"alpha, beta "), kwN,
+      lit("\"/><meta name=\"news_keywords\" content=\"beta "), kwN,
+      lit(",gamma\"/>"))
+    val dateBlock = when(m === 0,
+        concat(lit("<meta name=\"publish-date\" content=\"2020-03-"), dd,
+          lit("T10:00:00+05:30\">")))
+      .when(m === 1, concat(
+        lit("<input type=\"hidden\" id=\"to_timestamp\" value=\"202004"), dd,
+        lit("103000\">")))
+      .when(m === 2, concat(lit("<div data-date=\"2020-05-"), dd,
+        lit("\">d</div>")))
+      .when(m === 3, concat(lit("{\"datePublished\": \"10:52:14 AM IST Jun "),
+        dayS, lit(", 2020\"}")))
+      .when(m === 4, concat(lit("{\"datePublished\": \"2020-07-"), dd,
+        lit("T12:00:00+05:30\"}")))
+      .otherwise(concat(lit("{\"datePublished\":\"2020-08-"), dd,
+        lit("T08:00:00+05:30\",\"dateModified\":\"x\"}")))
+    val authorBlock = when(m === 0,
+        lit("<script>tp.push([\"setContentAuthor\", \"Special Correspondent\"])</script>"))
+      .when(m === 1, lit("{\"author\": \"MC News Desk\"}"))
+      .when(m === 3, lit("<span class = \"author_des\">By <span>" +
+        "<a href=\"https://x.com/f\" target = \"_blank\">Forbes Writer</a>" +
+        "</span></span>"))
+      .when(m === 4, lit("<meta name=\"author\" content=\"BS Reporter\">"))
+      .otherwise(lit(""))
+    val indBlock = when(m === 0,
+        lit("<meta name=\"keywords\" content=\"Banking Sector\" />"))
+      .when(m === 1, lit("<div class=\"market_element\">personal-finance</div>"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), dateBlock, kwMeta,
+      lit("</head><body>"), authorBlock, indBlock,
+      lit("</body></html>"))
+    d.select(id, src.as("source"), url.as("url"), html.as("html"))
+      .select(col("doc_id"), col("source"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.uniqueId(p, col("url"), col("html"))).as("unique_id"),
+        coalesce(
+          SourceProfiles.bySource(col("source"))(p =>
+            DateExtract.cascade(col("html"),
+              lit("2021-01-01").cast("date"), p.dateExtras)),
+          DateExtract.publishedDate(col("html"),
+            lit("2021-01-01").cast("date"))).as("pubdate"),
+        concat_ws("|", SourceProfiles.keywords(col("html")))
+          .as("keywords_joined"),
+        concat_ws("|", SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.authors(p, col("html")))).as("authors_joined"),
+        concat_ws("|", SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.industries(p, col("url"), col("html"))))
+          .as("industries_joined"))
+      .orderBy("doc_id")
+  }
+
+  private val articleAssemblySixSql =
+    """SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'hindu' WHEN 1 THEN 'moneycontrol'
+      |         WHEN 2 THEN 'livemint' WHEN 3 THEN 'forbes'
+      |         WHEN 4 THEN 'business_std' ELSE 'inexp_business' END AS source,
+      |  CAST(doc_id + CASE m WHEN 0 THEN 70000 WHEN 1 THEN 600000
+      |                       WHEN 2 THEN 50000 WHEN 3 THEN 8000
+      |                       WHEN 4 THEN 90000 ELSE 20000 END AS VARCHAR)
+      |    AS unique_id,
+      |  (CASE m WHEN 0 THEN DATE '2020-03-01' WHEN 1 THEN DATE '2020-04-01'
+      |          WHEN 2 THEN DATE '2020-05-01' WHEN 3 THEN DATE '2020-06-01'
+      |          WHEN 4 THEN DATE '2020-07-01' ELSE DATE '2020-08-01' END
+      |   + to_days(CAST(doc_id % 28 AS INT)))::DATE AS pubdate,
+      |  concat('alpha|beta ', CAST(doc_id % 7 AS VARCHAR), '|gamma')
+      |    AS keywords_joined,
+      |  CASE m WHEN 0 THEN 'Special Correspondent' WHEN 1 THEN 'MC News Desk'
+      |         WHEN 3 THEN 'Forbes Writer' WHEN 4 THEN 'BS Reporter'
+      |         ELSE '' END AS authors_joined,
+      |  CASE m WHEN 0 THEN 'Banking Sector' WHEN 1 THEN 'personal-finance'
+      |         ELSE '' END AS industries_joined
+      |FROM (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_body_extract", bodyExtract, Some(bodyExtractSql)),
     QueryDef("q_pubdate_extract", pubdateExtract, Some(pubdateExtractSql)),
     QueryDef("q_article_assembly", articleAssembly, Some(articleAssemblySql)),
     QueryDef("q_article_assembly_full", articleAssemblyFull,
-      Some(articleAssemblyFullSql))
+      Some(articleAssemblyFullSql)),
+    QueryDef("q_article_assembly_six", articleAssemblySix,
+      Some(articleAssemblySixSql))
   )
 }
