@@ -54,7 +54,19 @@ object SourceProfiles {
       /** forbes extractAuthors: two chained cutStrBetweenTags calls
         * ((start1, end1), (start2, end2)) — mod_en_in_forbes.py:149-162.
         */
-      authorCutBetween: Option[((String, String), (String, String))] = None)
+      authorCutBetween: Option[((String, String), (String, String))] = None,
+      /** checkAndCleanText invalid markers: any of these present (or the
+        * text too short) re-runs extractArticleBody on the raw page —
+        * here an identity, since the input already IS the cascade output
+        * (the reference's primary path is the newspaper library).
+        */
+      invalidTextStrings: Seq[String] = Seq(),
+      /** checkAndCleanText post-collapse substring removal (→ " "). */
+      subStringsToFilter: Seq[String] = Seq(),
+      /** indiakanoon's extra `replace('\n', ' ')` between the collapse
+        * and the substring removal (mod_en_in_indiakanoon.py:268).
+        */
+      newlineToSpace: Boolean = false)
 
   /** mod_en_in_ecotimes.py:479-501. */
   val ecotimes: Profile = Profile(
@@ -124,7 +136,17 @@ object SourceProfiles {
       ("(on )([0-9]+ [a-zA-Z]{3,}, [0-9]{4})(<\\/TITLE>)", "d MMMM, yyyy"),
       ("(Date: )([0-9]{2}\\/[0-9]{2}\\/20[0-9]{2})", "dd/MM/yyyy")),
     authorRegexes = Seq(
-      "(<div class=\"docsource_main\">)([a-zA-Z0-9 \\-]{4,})(</div>)"))
+      "(<div class=\"docsource_main\">)([a-zA-Z0-9 \\-]{4,})(</div>)"),
+    // the premium-banner filter string carries HTML MARKUP while the
+    // cascade output is tag-stripped text, so the replace can never fire
+    // — same dead path as the reference (its newspaper text and its
+    // getText re-extraction are both tag-free); transcribed verbatim
+    subStringsToFilter = Seq(
+      "<p>Try out our <b>Premium Member</b> services: " +
+        "<b>Virtual Legal Assistant</b>, <b>Query Alert Service</b> and " +
+        "an ad-free experience. <a href=\"/members/\">Free for one month" +
+        "</a> and pay only if you like it.</p>"),
+    newlineToSpace = true)
 
   /** mod_en_in_ndtv.py:201-218: url-ID stack + 3 date extras (the
     * space-padded ISO content meta, Updated-IST with full month name,
@@ -191,7 +213,11 @@ object SourceProfiles {
     */
   val livemint: Profile = Profile(
     urlIdRegexes =
-      Seq("(https:\\/\\/)(www\\.livemint\\.com\\/.+\\-)([0-9]{5,})(\\.html)"))
+      Seq("(https:\\/\\/)(www\\.livemint\\.com\\/.+\\-)([0-9]{5,})(\\.html)"),
+    subStringsToFilter = Seq(
+      "Subscribe to Mint Newsletters",
+      "Enter a valid email",
+      "Thank you for subscribing to our newsletter."))
 
   /** mod_en_in_forbes.py:108-120, 149-162 — 3 url-ID regexes, the
     * time-prefixed datePublished extra, cutStrBetweenTags author chain;
@@ -230,7 +256,14 @@ object SourceProfiles {
         "MMM d, yyyy")),
     authorRegexes =
       Seq("(<meta name=\"author\" content=\")([a-zA-Z0-9 _\\-]+)(\">)"),
-    splitAuthors = false)
+    splitAuthors = false,
+    invalidTextStrings = Seq(
+      "Support quality journalism and subscribe to Business Standard",
+      "Business Standard has always strived hard to provide up-to-date information"),
+    subStringsToFilter = Seq(
+      "(Only the headline and picture of this report may have been reworked" +
+        " by the Business Standard staff;" +
+        " the rest of the content is auto-generated from a syndicated feed.)"))
 
   /** mod_en_in_inexp_business.py:83-102 — 4 url-ID regexes appended
     * AFTER the base stack (:114, unique among the plugins), 2 date
@@ -341,6 +374,28 @@ object SourceProfiles {
         .map(pat => regexp_extract_all(html, lit(pat), lit(2)))
         .getOrElse(array().cast("array<string>"))
     }
+
+  /** Per-plugin checkAndCleanText (every plugin overrides with the same
+    * shape, e.g. mod_en_in_ecotimes.py:764-785): (1) invalid-marker /
+    * min-length re-extraction — an IDENTITY here because the input
+    * already is the cascade output the reference would re-extract;
+    * (2) filterRepeatedchars over the fixed char list; (3) indiakanoon's
+    * newline→space (:268); (4) subStringsToFilter removal (→ " ").
+    * Runs BETWEEN the body cascade and the P7 cleanText chain, exactly
+    * where the reference applies it (base_plugin.py:1321 before
+    * NewsEvent.setText's cleanText).
+    */
+  def checkAndClean(p: Profile, text: Column): Column = {
+    import graft.functions.TextClean
+    val collapsed =
+      TextClean.collapseRepeats(text, TextClean.defaultRepeatChars)
+    val nl =
+      if (p.newlineToSpace)
+        call_function("replace", collapsed, lit("\n"), lit(" "))
+      else collapsed
+    p.subStringsToFilter.foldLeft(nl)((c, s) =>
+      call_function("replace", c, lit(s), lit(" ")))
+  }
 
   /** P18 keyword merge: `keywords` + `news_keywords` metas, comma-split,
     * trimmed, first-seen-deduped (news_event.py:360-385, :206-218).

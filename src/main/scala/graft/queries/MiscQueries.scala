@@ -70,8 +70,9 @@ object MiscQueries {
 
   /** q_archive_dates — S4 archive-URL-for-date math: ecotimes Excel
     * day-number `datediff(runDate, 1899-12-31) + 1`
-    * (mod_en_in_ecotimes.py:536-573) and Hindu `archive/print/%Y/%m/%d`
-    * (mod_en_in_hindu.py:60).
+    * (mod_en_in_ecotimes.py:536-573), Hindu `archive/print/%Y/%m/%d`
+    * (mod_en_in_hindu.py:60), and business_std's advance-search
+    * `print_date=%d-%m-%Y` (mod_en_in_business_std.py:65).
     */
   private def archiveDates(s: SparkSession, dir: String): DataFrame = {
     val runDate = date_add(lit("2021-01-01").cast("date"),
@@ -84,7 +85,9 @@ object MiscQueries {
           (datediff(runDate, lit("1899-12-31").cast("date")) + 1)
             .cast("string"), lit(".cms")).as("ecotimes_url"),
         concat(lit("https://www.thehindu.com/archive/print/"),
-          date_format(runDate, "yyyy/MM/dd"), lit("/")).as("hindu_url"))
+          date_format(runDate, "yyyy/MM/dd"), lit("/")).as("hindu_url"),
+        concat(lit("https://www.business-standard.com/advance-search?type=print-media&print_date="),
+          date_format(runDate, "dd-MM-yyyy")).as("business_std_url"))
       .orderBy("doc_id")
   }
 
@@ -95,7 +98,9 @@ object MiscQueries {
       |    ',starttime-', CAST(datediff('day', DATE '1899-12-31', d) + 1 AS VARCHAR),
       |    '.cms') AS ecotimes_url,
       |  concat('https://www.thehindu.com/archive/print/',
-      |    strftime(d, '%Y/%m/%d'), '/') AS hindu_url
+      |    strftime(d, '%Y/%m/%d'), '/') AS hindu_url,
+      |  concat('https://www.business-standard.com/advance-search?type=print-media&print_date=',
+      |    strftime(d, '%d-%m-%Y')) AS business_std_url
       |FROM (SELECT doc_id,
       |        (DATE '2021-01-01' + INTERVAL (doc_id % 60) DAY)::DATE AS d
       |      FROM documents)

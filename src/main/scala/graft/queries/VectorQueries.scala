@@ -158,6 +158,12 @@ object VectorQueries {
     * The corpus is augmented with exact duplicate vectors (every 10th,
     * vec_id + 100000 — mirrored in the oracle) so the detector has true
     * positives to find at test scale.
+    *
+    * APPROXIMATE, and the DuckDB oracle mirrors the SAME bucket filter:
+    * the oracle verifies engine-equality of the approximation, not
+    * recall. VectorRecallSpec holds the exact-form check: bucketed ⊆
+    * exact all-pairs cosine≥0.95, every injected duplicate found, recall
+    * measured and reported.
     */
   private def nearDup(s: SparkSession, dir: String): DataFrame = {
     val base = embeddings(s, dir)

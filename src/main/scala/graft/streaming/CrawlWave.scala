@@ -130,7 +130,11 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
           graft.functions.DateExtract.publishedDate(html, current_date()))
           .as("pubdate"),
         regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
-        TextClean.cleanText(col("_body")).as("text"),
+        // per-plugin checkAndCleanText (repeated-char collapse +
+        // subStringsToFilter) between the cascade and P7 cleanText —
+        // the reference's base_plugin.py:1321 ordering
+        TextClean.cleanText(SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.checkAndClean(p, col("_body")))).as("text"),
         length(col("_body")).cast("long").as("textSize"),
         SourceProfiles.keywords(html).as("keywords"),
         SourceProfiles.bySource(col("source"))(p =>

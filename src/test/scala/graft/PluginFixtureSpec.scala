@@ -108,6 +108,31 @@ class PluginFixtureSpec extends SparkTestBase {
     assert(SourceCascades.hindu(parasOnly).contains("Para one text here."))
   }
 
+  test("checkAndCleanText: repeated-char collapse, indiakanoon newline " +
+      "rule, and per-plugin subStringsToFilter removal") {
+    import spark.implicits._
+    val rows = Seq(
+      ("livemint", "Read  this. Subscribe to Mint Newsletters now."),
+      ("business_std",
+        "Story body. (Only the headline and picture of this report may " +
+          "have been reworked by the Business Standard staff; the rest of " +
+          "the content is auto-generated from a syndicated feed.)"),
+      ("indiakanoon", "Line one.\n\nLine two."),
+      ("ecotimes", "Double  space--and..dots___here."))
+      .toDF("source", "body")
+    val out = rows.select(col("source"),
+        SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.checkAndClean(p, col("body"))).as("clean"))
+      .as[(String, String)].collect().toMap
+    // collapse runs FIRST, then the substring replace (reference order):
+    // the double space collapses, the banner becomes one space
+    assert(out("livemint") == "Read this.   now.")
+    assert(out("business_std") == "Story body.  ")
+    // \n\n collapses to \n, then indiakanoon's replace('\n', ' ')
+    assert(out("indiakanoon") == "Line one. Line two.")
+    assert(out("ecotimes") == "Double space-and.dots_here.")
+  }
+
   test("forbes/inexp/hindu/moneycontrol/livemint/business_std cascade " +
       "fixture parity (reference pins: inexp>5000, others==0)") {
     assert(SourceCascades.registry("hindu")(

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorQueries
+
+/** q_embedding_neardup is APPROXIMATE (label ∧ 12-bit sign-LSH bucket
+  * candidates): its DuckDB oracle mirrors the same bucket pre-filter, so
+  * the oracle alone verifies engine-equality of the approximation, not
+  * recall. This spec closes that gap with an EXACT all-pairs reference at
+  * sf0.001 (ADVICE r02): the bucketed pair set must be a strict SUBSET of
+  * the exact cosine≥0.95 pair set, must contain EVERY injected exact
+  * duplicate (identical vectors always share a bucket — sign-LSH's
+  * recall-1 class), and the measured recall is reported so the trade is a
+  * number, not an adjective.
+  */
+class VectorRecallSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("neardup bucketed pairs ⊆ exact pairs, all exact dups found, " +
+      "recall measured") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    // same augmentation as the query: every 10th vector duplicated
+    val corpus = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label")))
+    val withNorm = corpus.withColumn("nrm",
+      sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("label"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("label"), col("nrm").as("nb"))
+    val cos = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
+      (col("na") * col("nb"))
+    // EXACT reference: all pairs within a label (no bucket filter)
+    val exact = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cos, 6)).filter(col("cos") >= 0.95)
+      .select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val bucketed = VectorQueries.defs
+      .find(_.name == "q_embedding_neardup").get.fn(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(bucketed.subsetOf(exact),
+      s"bucketed pairs must be a subset of the exact pair set; " +
+        s"extras: ${bucketed.diff(exact).take(5)}")
+    // every injected exact duplicate (v, v+100000) must be found
+    val dupPairs = base.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(v => (v, v + 100000)).toSet
+    assert(dupPairs.subsetOf(bucketed),
+      s"identical vectors always share a sign bucket; missing: " +
+        s"${dupPairs.diff(bucketed).take(5)}")
+    val recall =
+      if (exact.isEmpty) 1.0 else bucketed.size.toDouble / exact.size
+    info(f"sign-LSH neardup recall at sf0.001: ${recall * 100}%.1f%% " +
+      s"(${bucketed.size}/${exact.size} exact pairs)")
+    assert(recall >= dupPairs.size.toDouble / math.max(exact.size, 1))
+  }
+}
