@@ -224,7 +224,17 @@ object VectorQueries {
     * Recall vs q_vector_topk (exact) is reported in BENCH notes.
     */
   private val ivfCells = 64
-  private val ivfNprobe = 2
+
+  /** Probe breadth, configurable (recall↔cost knob): candidates scanned
+    * scale ~linearly with nprobe while recall rises toward exact — at
+    * nprobe = ivfCells the result is provably identical to the exact
+    * top-k (every cell probed ⇒ full candidate set; asserted in
+    * VectorRecallSpec, which also reports the measured recall ladder).
+    * The oracle SQL interpolates the same constant, so the DuckDB
+    * comparison stays consistent under any setting.
+    */
+  private val ivfNprobe =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "2").toInt
 
   /** Integer score encoding (cosine rounded at 1e-6, tie → smaller
     * cent_id): argmax over it is deterministic and engine-portable.
@@ -236,7 +246,12 @@ object VectorQueries {
     round(dot(cv, v) / (ncv * nv) * 1e6, 0).cast("bigint") * 1000 -
       col("cent_id")
 
-  private def ivf(s: SparkSession, dir: String): DataFrame = {
+  private def ivf(s: SparkSession, dir: String): DataFrame =
+    ivfWith(s, dir, ivfNprobe)
+
+  /** IVF search at an explicit probe breadth (recall ladder in specs). */
+  private[graft] def ivfWith(s: SparkSession, dir: String,
+                             nprobe: Int): DataFrame = {
     val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     // --- train: one Lloyd step from the first-ivfCells seeds ----------
     val seeds = e.filter(col("vec_id") < ivfCells)
@@ -272,7 +287,7 @@ object VectorQueries {
       .withColumn("score", centScore(col("qv"), col("cv"),
         col("qnrm"), col("cnrm")))
       .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= ivfNprobe)
+      .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnrm"),
         col("cent_id").as("cell"))
     // --- search: only the probed cells ---------------------------------

@@ -104,6 +104,45 @@ class StreamingSpec extends SparkTestBase {
     assert(s.articlesNow().count() > 0 && mismatch == 0)
   }
 
+  test("watermarked append-mode windowed agg finalizes windows on " +
+      "watermark advance and drops too-late rows (§2.9)") {
+    val stage = tempDir("wm-events")
+    def ts(s: String) = Timestamp.valueOf(s)
+    def write(name: String, rows: Seq[(Long, Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").write.parquet(s"$stage/$name")
+    // batch 0 exists before the stream starts (file source needs ≥0 files)
+    write("b0", Seq((1L, ts("2021-06-01 10:00:00")),
+      (2L, ts("2021-06-01 10:20:00")), (3L, ts("2021-06-01 11:00:00"))))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(s"$stage/*")
+    val agg = stream.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    spark.catalog.dropTempView("wm_test")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    try {
+      q.processAllAvailable() // b0: watermark advances to 10:30
+      // b1: 13:00 advances the watermark to 12:30 at batch end
+      write("b1", Seq((4L, ts("2021-06-01 13:00:00"))))
+      q.processAllAvailable()
+      // b2 runs at watermark 12:30: the 10:00/11:00 windows (ends ≤
+      // 12:30) finalize and EMIT, and the 10:10 row is TOO LATE — its
+      // window end (11:00) is behind the watermark, so it is dropped
+      // rather than re-opening the already-finalized window
+      write("b2", Seq((5L, ts("2021-06-01 10:10:00")),
+        (6L, ts("2021-06-01 14:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_test")
+      .select(col("window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map(
+      "2021-06-01 10:00:00" -> 2L, // late 10:10 row excluded
+      "2021-06-01 11:00:00" -> 1L),
+      s"got $out")
+  }
+
   test("q_stream_hourly drains a real file-source stream") {
     val out = SparkEntry.queries("q_stream_hourly")(spark, dir)
     assert(out.count() > 0)

@@ -61,4 +61,29 @@ class VectorRecallSpec extends SparkTestBase {
       s"(${bucketed.size}/${exact.size} exact pairs)")
     assert(recall >= dupPairs.size.toDouble / math.max(exact.size, 1))
   }
+
+  test("IVF recall ladder: non-decreasing in nprobe, and nprobe=64 " +
+      "(all cells) is identical to the exact top-3") {
+    import spark.implicits._
+    // exact reference = the brute-force topk restricted to rank ≤ 3
+    val exact = VectorQueries.defs.find(_.name == "q_vector_topk").get
+      .fn(spark, dir).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def ivfAt(n: Int): Set[(Long, Long)] =
+      VectorQueries.ivfWith(spark, dir, n)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val ladder = Seq(1, 2, 4).map { n =>
+      val got = ivfAt(n)
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      info(f"IVF nprobe=$n%2d recall vs exact top-3: ${recall * 100}%.1f%%")
+      recall
+    }
+    assert(ladder.zip(ladder.tail).forall { case (a, b) => b >= a },
+      s"recall must be non-decreasing in nprobe: $ladder")
+    // full probe = full candidate set = exact (same (cos, id) ranking)
+    assert(ivfAt(64) == exact,
+      "probing every cell must reproduce the exact top-3 verbatim")
+  }
 }
