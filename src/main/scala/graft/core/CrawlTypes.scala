@@ -106,6 +106,16 @@ final case class SchedulerConfig(
       */
     bloomExpectedTotal: Long = 4L * 1024 * 1024,
     maxLinksPerPage: Int = 500,
+    /** F7/F8 minimum length gate when [[usePluginMinTextSize]] is off.
+      * The test/synthetic default (10) keeps the ~190-char synthetic
+      * bodies flowing; faithful deployments flip the flag instead.
+      */
+    minTextSize: Int = 10,
+    /** Use each source profile's `minArticleLengthInChars` (400 base;
+      * hindu 200, ndtv/inexp 250) for the F7 raw-html and F8 text
+      * gates, dispatched per row — the reference's per-plugin values.
+      */
+    usePluginMinTextSize: Boolean = false,
     /** W4's SECOND cap (worker.py:390-396): at most this many NEW links
       * per fetched page survive into the pending frontier at save time —
       * applied AFTER the seen/frontier anti-join, per parent page.

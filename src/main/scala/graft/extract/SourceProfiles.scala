@@ -66,7 +66,12 @@ object SourceProfiles {
       /** indiakanoon's extra `replace('\n', ' ')` between the collapse
         * and the substring removal (mod_en_in_indiakanoon.py:268).
         */
-      newlineToSpace: Boolean = false)
+      newlineToSpace: Boolean = false,
+      /** F7/F8 minimum length (raw html at fetch, extracted text at
+        * save): base default 400 (base_plugin.py:108); hindu 200,
+        * ndtv/inexp 250, nse/bse 10000 (per-plugin overrides).
+        */
+      minArticleLengthInChars: Int = 400)
 
   /** mod_en_in_ecotimes.py:479-501. */
   val ecotimes: Profile = Profile(
@@ -162,7 +167,8 @@ object SourceProfiles {
       ("(Updated: )([a-zA-Z]+ [0-9]{1,2}, 20[0-9]{2} [0-9]{1,2}:[0-9]{2})( [a-zA-Z]{2} IST)",
         "MMMM d, yyyy H:mm"),
       ("(\"datePublished\":\")([0-9]{4}-[0-9]{2}-[0-9]{2})(T[0-9]{2}:[0-9]{2}:[0-9]{2}\\+05:30\")",
-        "yyyy-MM-dd")))
+        "yyyy-MM-dd")),
+    minArticleLengthInChars = 250)
 
   /** mod_en_in_hindu.py:95-125 — 4 url-ID regexes, 2 date extras
     * (publish-date ISO meta, the literal `<none>\n`-prefixed IST form),
@@ -188,7 +194,8 @@ object SourceProfiles {
       "('Author':')([a-zA-Z_\\-. ]{3,})(',)",
       "('authorName' : ')([a-zA-Z.\\- ]{3,})(')"),
     industryMetaPattern =
-      Some("(<meta name=\"keywords\" content=\")([a-zA-Z_\\-. ]{3,})(\" />)"))
+      Some("(<meta name=\"keywords\" content=\")([a-zA-Z_\\-. ]{3,})(\" />)"),
+    minArticleLengthInChars = 200)
 
   /** mod_en_in_moneycontrol.py:354-365, 383-413 — 2 url-ID regexes, the
     * to_timestamp hidden-input date extra, whole-string author append
@@ -288,7 +295,8 @@ object SourceProfiles {
         "yyyy-MM-dd'T'HH:mm:ss"),
       ("(Published: <span>)([0-9]{1,}th[ ]+[A-Za-z]{3,} 20[0-9]{2} " +
         "[0-9]{2}:[0-9]{2})( .M<\\/span>)",
-        "d'th' MMMM yyyy H:mm")))
+        "d'th' MMMM yyyy H:mm")),
+    minArticleLengthInChars = 250)
 
   /** Generic profile (synthetic sources): base url stack + the JSON-LD
     * Person author pattern with comma split (the newspaper-lib analog).

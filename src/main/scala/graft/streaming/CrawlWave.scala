@@ -111,8 +111,17 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     val html = col("_html")
     val body = graft.extract.SourceCascades
       .body_text_by_source(html, col("source"))
+    // F7/F8 minimum length (base_plugin.py:1237, :1263): per-plugin
+    // minArticleLengthInChars when enabled, else the config constant
+    // (the select renames source → module, so the gate dispatches on
+    // whichever carries the plugin name at its point in the plan)
+    def minLenOf(src: org.apache.spark.sql.Column) =
+      if (cfg.usePluginMinTextSize)
+        SourceProfiles.bySource(src)(p => lit(p.minArticleLengthInChars))
+      else lit(cfg.minTextSize)
     fetched
       .withColumn("_html", col("html").cast("string"))
+      .filter(length(col("_html")) > minLenOf(col("source"))) // F7 raw gate
       .withColumn("_body", body)
       .select(
         col("url"),
@@ -143,7 +152,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
           SourceProfiles.industries(p, col("url"), html)).as("industries"),
         lit(null).cast(StringType).as("category"),
         lit(waveId).as("waveId"))
-      .filter(col("textSize") > 10) // F8 min-text gate (configurable)
+      .filter(col("textSize") > minLenOf(col("module"))) // F8 text gate
   }
 
   /** Discover next-wave frontier rows from fetched pages (S5 link
@@ -189,9 +198,11 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     // per page survive into pending, in discovery (seq) order. Applied
     // after the anti-join, exactly like the reference (it filters
     // already-pending/seen first, then inserts up to the cap). The
-    // parent page is recoverable from the seq encoding: seq DIV 1000.
+    // parent page is recoverable from the seq encoding: seq DIV 1000
+    // (integer division — floor(seq/1000.0) would go through a double
+    // and mis-group parents once seq exceeds 2^53 at deep recursion).
     val wSave = org.apache.spark.sql.expressions.Window
-      .partitionBy(floor(col("seq") / 1000)).orderBy(col("seq"))
+      .partitionBy(expr("seq DIV 1000")).orderBy(col("seq"))
     fresh
       .withColumn("_sn", row_number().over(wSave))
       .filter(col("_sn") <= cfg.maxLinksPerSave)

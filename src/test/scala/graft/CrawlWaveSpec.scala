@@ -475,6 +475,33 @@ class CrawlWaveSpec extends SparkTestBase {
       (0 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
   }
 
+  test("per-plugin minArticleLengthInChars gates F7/F8 when enabled " +
+      "(hindu 200 vs base 400; base_plugin.py:1237,1263)") {
+    import spark.implicits._
+    def page(url: String, body: String) = (url,
+      ("<html><head><title>t</title></head><body>" +
+        s"""<div class="articlestorycontent">$body</div></body></html>""")
+        .getBytes("UTF-8"))
+    val pages = Seq(
+      page("https://www.thehindu.com/business/a-article10001.ece", "x" * 150),
+      page("https://www.thehindu.com/business/b-article10002.ece", "y" * 250),
+      page("https://www.example.com/articles/story-10003", "z" * 300))
+      .toDF("url", "html")
+    val seeds = Seq(
+      ("https://www.thehindu.com/business/a-article10001.ece", "hindu", 0, 1L),
+      ("https://www.thehindu.com/business/b-article10002.ece", "hindu", 0, 2L),
+      ("https://www.example.com/articles/story-10003", "default", 0, 3L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-minlen"), pages,
+      emptyRobots, cfg(2, 2).copy(usePluginMinTextSize = true))
+    e.init(seeds)
+    e.runWave()
+    // hindu min=200: the 150-char body is gated, the 250-char one kept;
+    // the default-profile (min=400) 300-char page is gated
+    val kept = e.articlesNow().select("uniqueId").as[String].collect().toSet
+    assert(kept == Set("10002"), s"got $kept")
+  }
+
   test("json-to-csv and solr sink shapes (mod_json_to_csv.py:113-130, " +
       "mod_solrsubmit.py:74-103)") {
     val e = newEngine()
