@@ -609,7 +609,48 @@ object MiscQueries {
       |FROM m WHERE NOT contains(member, 'Readme.txt')
       |ORDER BY doc_id, member""".stripMargin
 
+  /** q_source_filters — the hindu plugin's real crawl-source filter
+    * chain over synthetic candidates (mod_en_in_hindu.py:65-93 lists,
+    * base_plugin.py:528-548 composition): F1 whitelist retention →
+    * F3 validity → F4 same-host+path nonContentURLs (query ignored,
+    * broadcast anti-join) → F5 nonContentStrings. Candidates cycle
+    * through one survivor shape and four rejection shapes; the oracle
+    * reconstructs the surviving set from the same arithmetic, so any
+    * filter drift (an entry lost from the transcribed lists, a
+    * predicate inverted) changes the row set and fails the hash.
+    */
+  private def sourceFilters(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.SourceRegistry
+    import graft.functions.{UrlFunctions => U}
+    val spec = SourceRegistry.specs("hindu")
+    val id = col("doc_id")
+    val m = (id % 5).cast("int")
+    val url = when(m === 0,
+        concat(lit("https://www.thehindu.com/business/Industry/story-article"),
+          (id + 70000).cast("string"), lit(".ece")))
+      // contains the F1 whitelist substring in its query so it reaches
+      // (and is rejected by) the F5 epaper substring rule
+      .when(m === 1, concat(lit("https://epaper.thehindu.com/page"),
+        id.cast("string"), lit("?ref=https://www.thehindu.com/business/")))
+      .when(m === 2, lit("https://www.thehindu.com/business/Economy/"))
+      .when(m === 3, concat(lit("https://www.thehindu.com/business/markets/?p="),
+        id.cast("string")))
+      .otherwise(concat(lit("https://www.thehindu.com/sport/story-"),
+        id.cast("string")))
+    val candidates = documents(s, dir).select(col("doc_id"), url.as("url"))
+      .filter(U.retainValid(col("url"), spec.validSubstrings))
+    SourceRegistry.filterNonContentUrls(candidates, "url", "hindu")
+      .orderBy("doc_id")
+  }
+
+  private val sourceFiltersSql =
+    """SELECT doc_id,
+      |  concat('https://www.thehindu.com/business/Industry/story-article',
+      |    CAST(doc_id + 70000 AS VARCHAR), '.ece') AS url
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_filters", sourceFilters, Some(sourceFiltersSql)),
     QueryDef("q_json_to_csv", jsonToCsv, Some(jsonToCsvSql)),
     QueryDef("q_master_scan", masterScan, Some(masterScanSql)),
     QueryDef("q_bhavcopy_parse", bhavcopyParse, Some(bhavcopyParseSql)),

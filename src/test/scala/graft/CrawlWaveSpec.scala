@@ -475,6 +475,48 @@ class CrawlWaveSpec extends SparkTestBase {
       (0 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
   }
 
+  test("hindu + moneycontrol fixtures end-to-end through the ENGINE " +
+      "(test_mod_en_in_hindu.py:110-127, test_mod_en_in_moneycontrol" +
+      ".py:105-120: id and pubdate; both plugins' cascades extract 0 " +
+      "chars on these pages — reference asserts that too — so the text " +
+      "gate is lowered to let the records commit)") {
+    import java.io.{BufferedInputStream, FileInputStream}
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = new BZip2CompressorInputStream(new BufferedInputStream(
+        new FileInputStream(s"/root/reference/test-data/$name")))
+      try in.readAllBytes() finally in.close()
+    }
+    val hinduUrl = "https://www.thehindu.com/business/budget/16-point-" +
+      "action-plan-for-agriculture-evokes-mixed-response/article30713792.ece"
+    val mcUrl = "https://www.moneycontrol.com/news/business/ipo/zomato-" +
+      "ipo-improving-economics-growth-plans-and-strong-investor-appetite-" +
+      "7173681.html"
+    val pages = Seq(
+      (hinduUrl, fixture("mod_en_in_hindu_30713792.html.bz2")),
+      (mcUrl, fixture("mod_en_in_moneycontrol_6541471.html.bz2")))
+      .toDF("url", "html")
+    val seeds = Seq((hinduUrl, "hindu", 0, 1L), (mcUrl, "moneycontrol", 0, 2L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-hindu-mc-e2e"), pages,
+      emptyRobots, cfg(2, 2).copy(minTextSize = -1))
+    e.init(seeds)
+    e.runWave()
+    val rows = e.articlesNow()
+      .select(col("module"), col("uniqueId"), col("pubdate").cast("string"),
+        col("textSize"), concat_ws("|", col("sourceName")))
+      .as[(String, String, String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows("hindu") ==
+      (("30713792", "2020-02-01", 0L, "Special Correspondent")))
+    // moneycontrol's fixture page (6541471) is served for the test URL,
+    // exactly like the reference's mocked fetch: the ID comes from the
+    // URL stack, the date from the page
+    assert(rows("moneycontrol") ==
+      (("7173681", "2021-02-18", 0L, "Moneycontrol News")))
+  }
+
   test("per-plugin minArticleLengthInChars gates F7/F8 when enabled " +
       "(hindu 200 vs base 400; base_plugin.py:1237,1263)") {
     import spark.implicits._
