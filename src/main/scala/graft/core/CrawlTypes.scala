@@ -116,6 +116,14 @@ final case class SchedulerConfig(
       * gates, dispatched per row — the reference's per-plugin values.
       */
     usePluginMinTextSize: Boolean = false,
+    /** Apply each source's transcribed filter chain (F1 whitelist, F2
+      * blacklist, F5 nonContentStrings per row + F4 nonContentURLs
+      * host+path anti-join — base_plugin.py:528-548) to DISCOVERED
+      * links before they enter the frontier, exactly where the
+      * reference gates its recursion. Off by default so synthetic test
+      * universes (non-reference hosts) keep flowing.
+      */
+    useSourceFilters: Boolean = false,
     /** W4's SECOND cap (worker.py:390-396): at most this many NEW links
       * per fetched page survive into the pending frontier at save time —
       * applied AFTER the seen/frontier anti-join, per parent page.

@@ -183,10 +183,28 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         (col("parentSeq") * 1000 + col("pos") + 1).as("seq"),
         col("depth"))
       .filter(U.isValidUrl(col("url")))
+    // Per-source crawl-config gating of discovered links (the reference
+    // filters recursion candidates through filterNonContentURLs,
+    // base_plugin.py:528-548): F1/F2/F5 as a per-row dispatch CASE,
+    // then the F4 host+path anti-join against the ~1.1k-row broadcast
+    // nonContentURLs table.
+    val gated = if (!cfg.useSourceFilters) links else {
+      import graft.extract.SourceRegistry
+      import spark.implicits._
+      val nc = SourceRegistry.nonContentHostPaths
+        .toDF("_ncSrc", "_ncHost", "_ncPath")
+      links
+        .filter(SourceRegistry.keepBySource(col("source"), col("url")))
+        .join(broadcast(nc),
+          col("source") === col("_ncSrc") &&
+            U.host(col("url")) === col("_ncHost") &&
+            U.path(col("url")) === col("_ncPath"),
+          "left_anti")
+    }
     // first-seen dedupe within the wave (P14): smallest seq wins
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url")).orderBy(col("seq"))
-    val deduped = links
+    val deduped = gated
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
     // drop anything already seen or already in the frontier (the frontier

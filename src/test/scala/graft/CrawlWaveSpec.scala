@@ -517,6 +517,38 @@ class CrawlWaveSpec extends SparkTestBase {
       (("7173681", "2021-02-18", 0L, "Moneycontrol News")))
   }
 
+  test("useSourceFilters gates discovered links through the per-source " +
+      "crawl config (filterNonContentURLs, base_plugin.py:528-548)") {
+    import spark.implicits._
+    val parent =
+      "https://www.thehindu.com/business/budget/parent-article30000001.ece"
+    val kept =
+      "https://www.thehindu.com/business/industry/kept-article30000002.ece"
+    val links = Seq(
+      kept,
+      // F5: epaper substring (the F1 whitelist token rides in the query)
+      "https://epaper.thehindu.com/page1?x=https://www.thehindu.com/business/",
+      // F4: exact host+path in hindu's nonContentURLs
+      "https://www.thehindu.com/business/",
+      // F1: outside the business whitelist
+      "https://www.thehindu.com/sport/story-1")
+    val html = ("<html><head><title>t</title></head><body>" +
+      s"""<div class="articlestorycontent">${"x" * 50}</div>""" +
+      links.map(l => s"""<a href="$l">l</a>""").mkString +
+      "</body></html>").getBytes("UTF-8")
+    val pages = Seq((parent, html)).toDF("url", "html")
+    val seeds = Seq((parent, "hindu", 0, 1L))
+      .toDF("url", "source", "priority", "seq")
+    val e = new CrawlEngine(spark, tempDir("crawl-srcfilter"), pages,
+      emptyRobots, cfg(2, 2).copy(useSourceFilters = true))
+    e.init(seeds)
+    val stats = e.runWave()
+    assert(stats.newLinks == 1)
+    val pending = e.frontierNow().filter(col("depth") === 1)
+      .select("url").as[String].collect().toSet
+    assert(pending == Set(kept), s"got $pending")
+  }
+
   test("per-plugin minArticleLengthInChars gates F7/F8 when enabled " +
       "(hindu 200 vs base 400; base_plugin.py:1237,1263)") {
     import spark.implicits._
