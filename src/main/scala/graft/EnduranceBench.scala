@@ -73,11 +73,12 @@ object EnduranceBench {
          |Reading: wall time per wave tracks THAT WAVE's scheduled+discovered
          |volume, not the cumulative seen/frontier size — the incremental
          |bloom store and append-only frontier keep per-wave state IO
-         |O(delta). Waves past maxFrontierDepth (default 4) discover 0 new
-         |links by design (the reference's BFS recursion cap,
-         |base_plugin.py:876-951) and keep draining the pending backlog at
-         |flat per-wave cost. (Shared-host noise moves individual wave
-         |times ±40%.)
+         |O(delta). The BFS depth cap (base_plugin.py:876-951) is PER URL:
+         |late waves keep discovering links while they still fetch
+         |backlogged URLs whose own depth is under the cap — so discovery
+         |tapers with the remaining shallow backlog instead of switching
+         |off at a wave count, and per-wave cost stays flat throughout.
+         |(Shared-host noise moves individual wave times ±40%.)
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/ENDURANCE.md"),
