@@ -224,12 +224,17 @@ object DedupQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"),
         col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
+    // the FINAL pair set is also persisted (it is tiny — confirmed
+    // pairs only): survivors() rebuilds this exact subtree, so the
+    // canonicalized-plan cache hands it the finished result instead of
+    // re-running the candidate+common stages a second time per pass
     common
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val jaccardCtes =
