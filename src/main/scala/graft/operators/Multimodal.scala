@@ -59,6 +59,54 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(doc_id: Long, frame_no: Int, frame_len: Int,
+                            frame_md5: String)
+
+  val FrameBytes = 256
+
+  /** Frame sampling — the one-row→many-rows batch shape (a video row
+    * yields ⌈n_bytes/FrameBytes⌉ frame rows). mapPartitions + flatMap is
+    * the Scala analog of a mapInPandas generator: the digest (stand-in
+    * for a codec/seek handle) is allocated ONCE per partition and reused
+    * across every frame of every row. Frame i covers payload bytes
+    * [i·FrameBytes, min(len, (i+1)·FrameBytes)) — deterministic, so the
+    * DuckDB oracle reconstructs each frame's md5 byte-for-byte.
+    */
+  def frameSample(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per-partition
+      rows.flatMap { m =>
+        val len = m.payload.length
+        val n = math.max(1, (len + FrameBytes - 1) / FrameBytes)
+        Iterator.tabulate(n) { i =>
+          val from = i * FrameBytes
+          val until = math.min(len, from + FrameBytes)
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(m.payload, from,
+            until)).map("%02x".format(_)).mkString
+          FrameRow(m.doc_id, i, until - from, hex)
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving downscale plan (pure column arithmetic, exact
+    * across engines): dims are kept when max(w,h) ≤ target, else both
+    * floor-scale by target/max (small-int double math — exact).
+    */
+  def resizedDims(w: org.apache.spark.sql.Column,
+                  h: org.apache.spark.sql.Column,
+                  target: Int): (org.apache.spark.sql.Column,
+                                 org.apache.spark.sql.Column) = {
+    val mx = greatest(w, h)
+    def scaled(d: org.apache.spark.sql.Column) =
+      when(mx <= target, d)
+        .otherwise(greatest(lit(1),
+          floor(d * lit(target) / mx).cast("int")))
+    (scaled(w), scaled(h))
+  }
+
   /** Build a media table from documents: payload = magic + UTF-8 bytes
     * (deterministic; real pipelines read the bytes from the lake).
     */

@@ -649,7 +649,75 @@ object MiscQueries {
       |    CAST(doc_id + 70000 AS VARCHAR), '.ece') AS url
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
+  /** q_frame_sample — the one-row→many-frames multimodal batch shape
+    * (builder brief): each media row yields ⌈n_bytes/256⌉ frame rows
+    * through the typed mapPartitions+flatMap path (Multimodal
+    * .frameSample — the mapInPandas-generator analog with a
+    * per-partition reused digest). The payload is `IMG0` + the UTF-8
+    * document text (pure ASCII in this corpus, asserted at generation),
+    * so DuckDB reconstructs every frame's md5 byte-for-byte with
+    * char-based substring arithmetic.
+    */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.frameSample(Multimodal.mediaFromDocuments(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("frame_no").cast("int").as("frame_no"),
+        col("frame_len").cast("int").as("frame_len"), col("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val frameSampleSql =
+    """WITH media AS (
+      |  SELECT doc_id, concat('IMG0', text) AS p FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(t.i AS INT) AS frame_no,
+      |    substring(p, CAST(t.i AS INT) * 256 + 1, 256) AS fb
+      |  FROM media,
+      |    UNNEST(generate_series(0,
+      |      CAST(ceil(length(p) / 256.0) AS INT) - 1)) AS t(i))
+      |SELECT doc_id, frame_no, CAST(length(fb) AS INT) AS frame_len,
+      |  md5(fb) AS frame_md5
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
+  /** q_media_resize — decode + aspect-preserving downscale plan: dims
+    * come from the stub decoder (64 + payload bytes 4/5 = the first two
+    * text characters), then keep-or-floor-scale to a 128 max dimension
+    * (Multimodal.resizedDims, exact small-int arithmetic both engines).
+    */
+  private def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val decoded = Multimodal
+      .decodeBatched(Multimodal.mediaFromDocuments(s, dir)).toDF()
+    val (rw, rh) = Multimodal.resizedDims(col("width"), col("height"), 128)
+    decoded.select(col("doc_id"), col("media_type"),
+        col("width"), col("height"), rw.as("rw"), rh.as("rh"))
+      .orderBy("doc_id")
+  }
+
+  private val mediaResizeSql =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  w AS width, h AS height,
+      |  CASE WHEN greatest(w, h) <= 128 THEN w
+      |       ELSE greatest(1, CAST(floor(w * 128 / greatest(w, h)) AS INT))
+      |  END AS rw,
+      |  CASE WHEN greatest(w, h) <= 128 THEN h
+      |       ELSE greatest(1, CAST(floor(h * 128 / greatest(w, h)) AS INT))
+      |  END AS rh
+      |FROM (
+      |  SELECT doc_id,
+      |    64 + CASE WHEN length(text) >= 1
+      |              THEN ascii(substr(text, 1, 1)) ELSE 0 END AS w,
+      |    64 + CASE WHEN length(text) >= 2
+      |              THEN ascii(substr(text, 2, 1)) ELSE 0 END AS h
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q_source_filters", sourceFilters, Some(sourceFiltersSql)),
     QueryDef("q_json_to_csv", jsonToCsv, Some(jsonToCsvSql)),
     QueryDef("q_master_scan", masterScan, Some(masterScanSql)),
