@@ -177,8 +177,8 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         posexplode(slice(U.extractLinks(col("url"), html), 1,
           math.min(cfg.maxLinksPerPage, 999))))
       .select(
-        lower(col("col")).as("url"), col("source"),
-        col("priority"),
+        lower(col("col")).as("url"), col("col").as("_rawUrl"),
+        col("source"), col("priority"),
         lit(waveId).as("waveDiscovered"),
         (col("parentSeq") * 1000 + col("pos") + 1).as("seq"),
         col("depth"))
@@ -187,20 +187,23 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     // filters recursion candidates through filterNonContentURLs,
     // base_plugin.py:528-548): F1/F2/F5 as a per-row dispatch CASE,
     // then the F4 host+path anti-join against the ~1.1k-row broadcast
-    // nonContentURLs table.
-    val gated = if (!cfg.useSourceFilters) links else {
+    // nonContentURLs table. Gates run on the ORIGINAL-case url — the
+    // reference filters first and normalizes (lowercases) after, so its
+    // mixed-case config entries (hindu's /business/Industry/ etc.)
+    // match; only the surviving links keep their lowercased form.
+    val gated = (if (!cfg.useSourceFilters) links else {
       import graft.extract.SourceRegistry
       import spark.implicits._
       val nc = SourceRegistry.nonContentHostPaths
         .toDF("_ncSrc", "_ncHost", "_ncPath")
       links
-        .filter(SourceRegistry.keepBySource(col("source"), col("url")))
+        .filter(SourceRegistry.keepBySource(col("source"), col("_rawUrl")))
         .join(broadcast(nc),
           col("source") === col("_ncSrc") &&
-            U.host(col("url")) === col("_ncHost") &&
-            U.path(col("url")) === col("_ncPath"),
+            U.host(col("_rawUrl")) === col("_ncHost") &&
+            U.path(col("_rawUrl")) === col("_ncPath"),
           "left_anti")
-    }
+    }).drop("_rawUrl")
     // first-seen dedupe within the wave (P14): smallest seq wins
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url")).orderBy(col("seq"))

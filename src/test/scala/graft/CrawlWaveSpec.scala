@@ -530,6 +530,9 @@ class CrawlWaveSpec extends SparkTestBase {
       "https://epaper.thehindu.com/page1?x=https://www.thehindu.com/business/",
       // F4: exact host+path in hindu's nonContentURLs
       "https://www.thehindu.com/business/",
+      // F4 with the config's MIXED-CASE path: the gate must run on the
+      // original-case link (the reference filters before lowercasing)
+      "https://www.thehindu.com/business/Industry/",
       // F1: outside the business whitelist
       "https://www.thehindu.com/sport/story-1")
     val html = ("<html><head><title>t</title></head><body>" +
