@@ -124,9 +124,11 @@ final case class SchedulerConfig(
       * universes (non-reference hosts) keep flowing.
       */
     useSourceFilters: Boolean = false,
-    /** W4's SECOND cap (worker.py:390-396): at most this many NEW links
-      * per fetched page survive into the pending frontier at save time —
-      * applied AFTER the seen/frontier anti-join, per parent page.
+    /** W4's SECOND cap (worker.py:390-398): each page's filtered link
+      * list is truncated to this many BEFORE the already-fetched filter
+      * (`additionalLinks[:100]`, then removeAlreadyFetchedURLs) — a page
+      * whose first 100 links are mostly known saves fewer than 100 new
+      * ones; it does not top back up.
       */
     maxLinksPerSave: Int = 100,
     /** BFS recursion cap (base_plugin.py:876-951 stops link expansion at

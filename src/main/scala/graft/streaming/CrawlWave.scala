@@ -204,29 +204,32 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
             U.path(col("_rawUrl")) === col("_ncPath"),
           "left_anti")
     }).drop("_rawUrl")
+    // W4's SECOND cap (worker.py:390-398): each page's filtered link
+    // list is truncated to maxLinksPerSave BEFORE the already-fetched
+    // filter (`additionalLinks[:100]` happens first, then
+    // removeAlreadyFetchedURLs) — so a page with 100+ known links saves
+    // FEWER than 100 new ones, it does not top back up. Page-local, in
+    // discovery (seq) order; the parent is recoverable from the seq
+    // encoding: seq DIV 1000 (integer division — floor(seq/1000.0)
+    // would go through a double and mis-group parents once seq exceeds
+    // 2^53 at deep recursion).
+    val wSave = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("seq DIV 1000")).orderBy(col("seq"))
+    val capped = gated
+      .withColumn("_sn", row_number().over(wSave))
+      .filter(col("_sn") <= cfg.maxLinksPerSave)
+      .drop("_sn")
     // first-seen dedupe within the wave (P14): smallest seq wins
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url")).orderBy(col("seq"))
-    val deduped = gated
+    val deduped = capped
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
     // drop anything already seen or already in the frontier (the frontier
     // is append-only and scheduled rows came from it, so seen ∪ frontier
     // covers pending + scheduled + completed)
     val known = seen.select("url").unionByName(frontier.select("url"))
-    val fresh = deduped.join(known, Seq("url"), "left_anti")
-    // W4's SECOND cap (worker.py:390-396): ≤ maxLinksPerSave NEW links
-    // per page survive into pending, in discovery (seq) order. Applied
-    // after the anti-join, exactly like the reference (it filters
-    // already-pending/seen first, then inserts up to the cap). The
-    // parent page is recoverable from the seq encoding: seq DIV 1000
-    // (integer division — floor(seq/1000.0) would go through a double
-    // and mis-group parents once seq exceeds 2^53 at deep recursion).
-    val wSave = org.apache.spark.sql.expressions.Window
-      .partitionBy(expr("seq DIV 1000")).orderBy(col("seq"))
-    fresh
-      .withColumn("_sn", row_number().over(wSave))
-      .filter(col("_sn") <= cfg.maxLinksPerSave)
+    deduped.join(known, Seq("url"), "left_anti")
       .select(col("url"), col("source"),
         U.host(col("url")).as("host"),
         hostHashCol(U.host(col("url"))).as("hostHash"),

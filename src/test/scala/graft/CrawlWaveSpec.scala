@@ -460,19 +460,24 @@ class CrawlWaveSpec extends SparkTestBase {
     val pages = Seq(("https://www.hub.com/articles/story-0",
       s"<html><head><title>t</title></head><body>$links</body></html>"
         .getBytes("UTF-8"))).toDF("url", "html")
-    val seeds = Seq(("https://www.hub.com/articles/story-0", "synthetic", 0, 0L))
+    // a-0..a-4 are ALREADY pending: the cap truncates to the first 10
+    // links BEFORE the known-filter (worker.py:390-398 slices
+    // additionalLinks[:100] first), so only a-5..a-9 are saved — the
+    // page must NOT top back up to 10 new links
+    val seeds = (Seq(("https://www.hub.com/articles/story-0", "synthetic", 0, 0L)) ++
+      (0 until 5).map(k =>
+        (s"https://www.hub.com/articles/a-$k", "synthetic", 0, (k + 1).toLong)))
       .toDF("url", "source", "priority", "seq")
     val e = new CrawlEngine(spark, tempDir("crawl-savecap"), pages,
       emptyRobots, cfg(2, 2).copy(maxLinksPerSave = 10))
     e.init(seeds)
     val stats = e.runWave()
-    assert(stats.newLinks == 10,
-      s"expected the 10-per-save cap, got ${stats.newLinks}")
-    // the survivors are the FIRST 10 in on-page discovery (seq) order
+    assert(stats.newLinks == 5,
+      s"cap runs before the known-filter; got ${stats.newLinks}")
     val kept = e.frontierNow().filter(col("depth") === 1)
       .select("url").as[String].collect().toSet
     assert(kept ==
-      (0 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
+      (5 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
   }
 
   test("hindu + moneycontrol fixtures end-to-end through the ENGINE " +
@@ -533,7 +538,9 @@ class CrawlWaveSpec extends SparkTestBase {
       // F4 with the config's MIXED-CASE path: the gate must run on the
       // original-case link (the reference filters before lowercasing)
       "https://www.thehindu.com/business/Industry/",
-      // F1: outside the business whitelist
+      // NOT filtered: recursion links get no F1 whitelisting in the
+      // reference (base_plugin.py:1246-1247 runs filterNonContentURLs +
+      // filterInvalidURLs only) — the sport link must SURVIVE
       "https://www.thehindu.com/sport/story-1")
     val html = ("<html><head><title>t</title></head><body>" +
       s"""<div class="articlestorycontent">${"x" * 50}</div>""" +
@@ -546,10 +553,11 @@ class CrawlWaveSpec extends SparkTestBase {
       emptyRobots, cfg(2, 2).copy(useSourceFilters = true))
     e.init(seeds)
     val stats = e.runWave()
-    assert(stats.newLinks == 1)
+    assert(stats.newLinks == 2, s"got ${stats.newLinks}")
     val pending = e.frontierNow().filter(col("depth") === 1)
       .select("url").as[String].collect().toSet
-    assert(pending == Set(kept), s"got $pending")
+    assert(pending ==
+      Set(kept, "https://www.thehindu.com/sport/story-1"), s"got $pending")
   }
 
   test("per-plugin minArticleLengthInChars gates F7/F8 when enabled " +
