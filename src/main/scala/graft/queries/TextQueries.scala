@@ -12,6 +12,52 @@ import Tables._
   */
 object TextQueries {
 
+  /** q_fingerprint — document fingerprinting by Rabin–Karp ROLLING hash
+    * (builder brief): all character 8-gram hashes in one O(n) pass
+    * (RollingHashExpr — base-31 polynomial, exact Long, no modulus),
+    * then mod-p sampling (h % 64 == 0 — the standard fingerprint
+    * selection) summarized per document as count/min/xor. The oracle
+    * writes the eight base-31 power terms literally, so every window
+    * hash is integer-identical across engines.
+    */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    d.withColumn("_h",
+        graft.functions.RollingHash.rolling_hashes(col("text"), 8))
+      .withColumn("_fp", filter(col("_h"), x => x % 64 === 0))
+      .select(col("doc_id"),
+        size(col("_h")).cast("bigint").as("n_windows"),
+        size(col("_fp")).cast("bigint").as("n_fp"),
+        coalesce(array_min(col("_fp")), lit(-1L)).as("fp_min"),
+        aggregate(col("_fp"), lit(0L), (a, x) => a.bitwiseXOR(x))
+          .as("fp_xor"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(ascii(substr(text, i, 1)) AS BIGINT) * 27512614111 +
+      |    CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 887503681 +
+      |    CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 28629151 +
+      |    CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 923521 +
+      |    CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 29791 +
+      |    CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 961 +
+      |    CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 31 +
+      |    ascii(substr(text, i + 7, 1)) AS h
+      |  FROM (SELECT doc_id, text, CAST(t.i AS INT) AS i
+      |        FROM documents,
+      |          UNNEST(generate_series(1, length(text) - 7)) AS t(i)))
+      |SELECT d.doc_id,
+      |  CAST(count(h) AS BIGINT) AS n_windows,
+      |  CAST(count(h) FILTER (WHERE h % 64 = 0) AS BIGINT) AS n_fp,
+      |  CAST(coalesce(min(h) FILTER (WHERE h % 64 = 0), -1) AS BIGINT)
+      |    AS fp_min,
+      |  CAST(coalesce(bit_xor(h) FILTER (WHERE h % 64 = 0), 0) AS BIGINT)
+      |    AS fp_xor
+      |FROM documents d LEFT JOIN w USING (doc_id)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** q_token_count — whitespace tokens + BPE-ish regex tokens + chars. */
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(
@@ -137,6 +183,7 @@ object TextQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),

@@ -118,4 +118,33 @@ class FunctionsSpec extends SparkTestBase {
       concat(lit(meta), lit("")), lit("2021-12-31").cast("date")))
     assert(got3 == "2020-01-23")
   }
+
+  test("rolling k-gram hash equals naive per-window recomputation " +
+      "(incl. non-ASCII chars and the n < k edge)") {
+    def naive(s: String, k: Int): Seq[Long] =
+      if (s.length < k) Seq()
+      else (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => h * 31L + c)
+      }
+    val cases = Seq(
+      ("the quick brown fox jumps over the lazy dog", 8),
+      ("aaaaaaaaaaaaaaaa", 8),          // degenerate repeats
+      ("héllo wörld — ünïcode ¤ text!", 8), // non-ASCII code units
+      ("short", 8),                      // n < k → empty
+      ("exactly8", 8),                   // n == k → one window
+      ("abcdefgh", 1))                   // k = 1
+    cases.foreach { case (s, k) =>
+      val got = Seq(s).toDF("t")
+        .select(graft.functions.RollingHash.rolling_hashes(col("t"), k))
+        .as[Seq[Long]].head()
+      assert(got == naive(s, k), s"'$s' k=$k")
+    }
+    // deterministic across partitionings over the real corpus
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fp(parts: Int) = d.repartition(parts)
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hashes(col("text"), 8))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(fp(1) == fp(5))
+  }
 }
