@@ -71,8 +71,10 @@ object MiscQueries {
   /** q_archive_dates — S4 archive-URL-for-date math: ecotimes Excel
     * day-number `datediff(runDate, 1899-12-31) + 1`
     * (mod_en_in_ecotimes.py:536-573), Hindu `archive/print/%Y/%m/%d`
-    * (mod_en_in_hindu.py:60), and business_std's advance-search
-    * `print_date=%d-%m-%Y` (mod_en_in_business_std.py:65).
+    * (mod_en_in_hindu.py:60), business_std's advance-search
+    * `print_date=%d-%m-%Y` (mod_en_in_business_std.py:65), and GDELT's
+    * two-days-back export archive (mod_in_gdelt.py:148-161 — prev of
+    * prev day, leap/yearly boundaries pinned in GdeltFixtureSpec).
     */
   private def archiveDates(s: SparkSession, dir: String): DataFrame = {
     val runDate = date_add(lit("2021-01-01").cast("date"),
@@ -87,7 +89,10 @@ object MiscQueries {
         concat(lit("https://www.thehindu.com/archive/print/"),
           date_format(runDate, "yyyy/MM/dd"), lit("/")).as("hindu_url"),
         concat(lit("https://www.business-standard.com/advance-search?type=print-media&print_date="),
-          date_format(runDate, "dd-MM-yyyy")).as("business_std_url"))
+          date_format(runDate, "dd-MM-yyyy")).as("business_std_url"),
+        concat(lit("http://data.gdeltproject.org/events/"),
+          date_format(date_sub(runDate, 2), "yyyyMMdd"),
+          lit(".export.CSV.zip")).as("gdelt_url"))
       .orderBy("doc_id")
   }
 
@@ -100,7 +105,9 @@ object MiscQueries {
       |  concat('https://www.thehindu.com/archive/print/',
       |    strftime(d, '%Y/%m/%d'), '/') AS hindu_url,
       |  concat('https://www.business-standard.com/advance-search?type=print-media&print_date=',
-      |    strftime(d, '%d-%m-%Y')) AS business_std_url
+      |    strftime(d, '%d-%m-%Y')) AS business_std_url,
+      |  concat('http://data.gdeltproject.org/events/',
+      |    strftime(d - to_days(2), '%Y%m%d'), '.export.CSV.zip') AS gdelt_url
       |FROM (SELECT doc_id,
       |        (DATE '2021-01-01' + INTERVAL (doc_id % 60) DAY)::DATE AS d
       |      FROM documents)
