@@ -20,19 +20,29 @@ object Bench {
     // warm-up: JIT, codegen, parquet footer caches — so per-query numbers
     // reflect steady state rather than first-query startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // min is taken over SUCCESSFUL reps only: a rep that throws fast
+    // must not mask a slow-but-working query as a fast success. A query
+    // that fails in every rep reports -1 (an impossible duration) so
+    // the failure is loud in the JSON instead of a phantom time.
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failedAll = scala.collection.mutable.LinkedHashSet[String]()
     (1 to reps).foreach { _ =>
       spark.catalog.clearCache()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        if (ok) {
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+          failedAll -= name
+        } else if (!best.contains(name)) failedAll += name
       }
     }
+    failedAll.foreach(n => best(n) = -1.0)
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val total = if (best.nonEmpty) best.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -116,12 +116,14 @@ final case class SchedulerConfig(
       * gates, dispatched per row — the reference's per-plugin values.
       */
     usePluginMinTextSize: Boolean = false,
-    /** Apply each source's transcribed filter chain (F1 whitelist, F2
-      * blacklist, F5 nonContentStrings per row + F4 nonContentURLs
-      * host+path anti-join — base_plugin.py:528-548) to DISCOVERED
-      * links before they enter the frontier, exactly where the
-      * reference gates its recursion. Off by default so synthetic test
-      * universes (non-reference hosts) keep flowing.
+    /** Apply each source's transcribed filter chain (F2 blacklist + F3
+      * validity + F5 nonContentStrings per row, plus the F4
+      * nonContentURLs host+path anti-join — base_plugin.py:528-548) to
+      * DISCOVERED links before they enter the frontier, exactly where
+      * the reference gates its recursion. Note there is NO F1
+      * whitelisting here: the reference never whitelist-gates recursion
+      * links (that rule applies to listing/RSS harvests). Off by
+      * default so synthetic test universes keep flowing.
       */
     useSourceFilters: Boolean = false,
     /** W4's SECOND cap (worker.py:390-398): each page's filtered link

@@ -67,18 +67,18 @@ object SourceCascades {
 
   /** mod_en_in_hindu.py:175-192: collects p.body paragraph text, then
     * UNCONDITIONALLY overwrites it with div.articlestorycontent's text
-    * whenever that block exists (`articleText = body_root[0].getText()`
-    * runs after the paras loop) — the block has PRIORITY, the paragraphs
-    * are only what remains when it is absent. (Block-exists-but-empty is
-    * indistinguishable from block-absent here; both yield "" either way.)
+    * whenever that block EXISTS (`articleText = body_root[0].getText()`
+    * runs after the paras loop) — the block has priority even when its
+    * text is empty (a JS-populated empty container on a page with real
+    * p.body paras must still end at "", exactly like the reference).
     */
-  def hindu(html: String): String = {
-    // find_all('p', {"class": 'body'}) + get_text() per para — every
-    // p.body ELEMENT's full subtree text, concatenated
-    val paras = HtmlExtract.allBlocksText(html, "p", "body")
-    val block = articleStoryContent(html)
-    if (block.nonEmpty) block else paras
-  }
+  def hindu(html: String): String =
+    if (HtmlExtract.hasBlock(html, "div", "articlestorycontent"))
+      articleStoryContent(html)
+    else
+      // find_all('p', {"class": 'body'}) + get_text() per para — every
+      // p.body ELEMENT's full subtree text, concatenated
+      HtmlExtract.allBlocksText(html, "p", "body")
 
   /** mod_en_in_moneycontrol.py:425-433 — div.text_block text-only <p>s. */
   def moneycontrol(html: String): String =

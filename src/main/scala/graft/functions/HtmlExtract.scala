@@ -138,6 +138,17 @@ object HtmlExtract {
     }
   }
 
+  /** Does any `<tag class~=selector>` block exist (BS4
+    * `len(find_all(...)) > 0`)? Needed where the reference branches on
+    * block EXISTENCE rather than non-empty text — an empty block and an
+    * absent block both yield "" from the text extractors, but behave
+    * differently in overwrite-style cascades (hindu).
+    */
+  def hasBlock(html: String, tag: String, selector: String): Boolean = {
+    val cleaned = commentRe.matcher(html).replaceAll("")
+    findOpenTag(cleaned, tag, selector, 0).isDefined
+  }
+
   /** getText concatenated over ALL blocks matching (tag, selector)
     * (ndtv's multi-section concatenation, mod_en_in_ndtv.py:268-282).
     */

@@ -168,14 +168,22 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   private def discoverLinks(fetched: DataFrame, waveId: Long,
                             seen: DataFrame, frontier: DataFrame): DataFrame = {
     val html = col("html").cast("string")
+    // array_distinct BEFORE the caps: the reference dedupes each page's
+    // link list (deDupeList in extractLinksFromHTML AND inside
+    // filterNonContentURLs) before slicing to 500/100, so repeated
+    // hrefs must not consume cap slots; first-occurrence order is
+    // preserved by both deDupeList and array_distinct. depth is
+    // null-coalesced to 0 so frontier snapshots written before the
+    // depth column existed keep expanding instead of being silently
+    // null-filtered out.
     val links = fetched
-      .filter(col("depth") < cfg.maxFrontierDepth)
+      .filter(coalesce(col("depth"), lit(0)) < cfg.maxFrontierDepth)
       .select(
         col("url").as("parentUrl"), col("source"),
         col("priority"), col("seq").as("parentSeq"),
-        (col("depth") + 1).as("depth"),
-        posexplode(slice(U.extractLinks(col("url"), html), 1,
-          math.min(cfg.maxLinksPerPage, 999))))
+        (coalesce(col("depth"), lit(0)) + 1).as("depth"),
+        posexplode(slice(array_distinct(U.extractLinks(col("url"), html)),
+          1, math.min(cfg.maxLinksPerPage, 999))))
       .select(
         lower(col("col")).as("url"), col("col").as("_rawUrl"),
         col("source"), col("priority"),
@@ -185,7 +193,8 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       .filter(U.isValidUrl(col("url")))
     // Per-source crawl-config gating of discovered links (the reference
     // filters recursion candidates through filterNonContentURLs,
-    // base_plugin.py:528-548): F1/F2/F5 as a per-row dispatch CASE,
+    // base_plugin.py:528-548): F2/F3/F5 as a per-row dispatch CASE (NO
+    // F1 whitelist — recursion links are never whitelist-gated there),
     // then the F4 host+path anti-join against the ~1.1k-row broadcast
     // nonContentURLs table. Gates run on the ORIGINAL-case url — the
     // reference filters first and normalizes (lowercases) after, so its

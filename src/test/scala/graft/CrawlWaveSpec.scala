@@ -454,8 +454,11 @@ class CrawlWaveSpec extends SparkTestBase {
   test("W4 per-save link cap (worker.py:390-396): at most maxLinksPerSave " +
       "new links per fetched page reach the pending frontier") {
     import spark.implicits._
+    // every href is repeated: duplicates must NOT consume cap slots —
+    // the reference dedupes the page's link list (deDupeList) before
+    // slicing to the cap
     val links = (0 until 30)
-      .map(k => s"""<a href="https://www.hub.com/articles/a-$k">l</a>""")
+      .map(k => s"""<a href="https://www.hub.com/articles/a-$k">l</a>""" * 2)
       .mkString
     val pages = Seq(("https://www.hub.com/articles/story-0",
       s"<html><head><title>t</title></head><body>$links</body></html>"
@@ -520,6 +523,31 @@ class CrawlWaveSpec extends SparkTestBase {
     // URL stack, the date from the page
     assert(rows("moneycontrol") ==
       (("7173681", "2021-02-18", 0L, "Moneycontrol News")))
+  }
+
+  test("frontier snapshots written BEFORE the depth column still expand " +
+      "(legacy rows read back with null depth → coalesced to 0)") {
+    import spark.implicits._
+    val url0 = "https://www.hub.com/articles/story-0"
+    val links = (0 until 5)
+      .map(k => s"""<a href="https://www.hub.com/articles/b-$k">l</a>""")
+      .mkString
+    val pages = Seq((url0,
+      s"<html><head><title>t</title></head><body>$links</body></html>"
+        .getBytes("UTF-8"))).toDF("url", "html")
+    val e = new CrawlEngine(spark, tempDir("crawl-legacy-depth"), pages,
+      emptyRobots, cfg(2, 2))
+    e.init(Seq((url0, "synthetic", 0, 0L))
+      .toDF("url", "source", "priority", "seq"))
+    // simulate a pre-upgrade snapshot: rewrite wave 0 WITHOUT depth —
+    // schema-on-read then yields null depth for every legacy row
+    val legacy = e.frontierT.read(e.frontierSchema).drop("depth")
+    e.frontierT.commitReplace(legacy, 0L)
+    val stats = e.runWave()
+    assert(stats.newLinks == 5,
+      s"legacy null-depth rows must still expand, got ${stats.newLinks}")
+    assert(e.frontierT.read(e.frontierSchema)
+      .filter(col("depth") === 1).count() == 5)
   }
 
   test("useSourceFilters gates discovered links through the per-source " +

@@ -106,6 +106,14 @@ class PluginFixtureSpec extends SparkTestBase {
     assert(!SourceCascades.hindu(both).contains("Para one"),
       "paras must be overwritten when the block exists")
     assert(SourceCascades.hindu(parasOnly).contains("Para one text here."))
+    // the override fires on block EXISTENCE, not non-empty text: an
+    // empty container still wipes the paragraph text (reference runs
+    // `articleText = body_root[0].getText()` unconditionally)
+    val emptyBlock =
+      """<html><body><p class="body">Para one text here.</p>
+        |<div class="articlestorycontent"></div></body></html>""".stripMargin
+    assert(SourceCascades.hindu(emptyBlock).isEmpty,
+      "an existing-but-empty block must still override the paras")
   }
 
   test("checkAndCleanText: repeated-char collapse, indiakanoon newline " +
