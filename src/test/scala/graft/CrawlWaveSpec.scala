@@ -483,11 +483,10 @@ class CrawlWaveSpec extends SparkTestBase {
       (5 until 10).map(k => s"https://www.hub.com/articles/a-$k").toSet)
   }
 
-  test("hindu + moneycontrol fixtures end-to-end through the ENGINE " +
-      "(test_mod_en_in_hindu.py:110-127, test_mod_en_in_moneycontrol" +
-      ".py:105-120: id and pubdate; both plugins' cascades extract 0 " +
-      "chars on these pages — reference asserts that too — so the text " +
-      "gate is lowered to let the records commit)") {
+  test("all six round-3 plugin fixtures end-to-end through the ENGINE " +
+      "(id/pubdate/authors per the reference tests; the config-shell " +
+      "cascades extract 0 chars on these pages — the reference asserts " +
+      "that too — so the text gate is lowered to let those commit)") {
     import java.io.{BufferedInputStream, FileInputStream}
     import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
     import spark.implicits._
@@ -496,18 +495,43 @@ class CrawlWaveSpec extends SparkTestBase {
         new FileInputStream(s"/root/reference/test-data/$name")))
       try in.readAllBytes() finally in.close()
     }
-    val hinduUrl = "https://www.thehindu.com/business/budget/16-point-" +
-      "action-plan-for-agriculture-evokes-mixed-response/article30713792.ece"
-    val mcUrl = "https://www.moneycontrol.com/news/business/ipo/zomato-" +
-      "ipo-improving-economics-growth-plans-and-strong-investor-appetite-" +
-      "7173681.html"
-    val pages = Seq(
-      (hinduUrl, fixture("mod_en_in_hindu_30713792.html.bz2")),
-      (mcUrl, fixture("mod_en_in_moneycontrol_6541471.html.bz2")))
+    // (source, fixture, reference-test URL, id, pubdate, authors,
+    //  minTextSize) — fixture pages served for the test URLs exactly
+    // like the reference's mocked fetch
+    val cases = Seq(
+      ("hindu", "mod_en_in_hindu_30713792.html.bz2",
+        "https://www.thehindu.com/business/budget/16-point-action-plan-" +
+          "for-agriculture-evokes-mixed-response/article30713792.ece",
+        "30713792", "2020-02-01", "Special Correspondent", 0L),
+      ("moneycontrol", "mod_en_in_moneycontrol_6541471.html.bz2",
+        "https://www.moneycontrol.com/news/business/ipo/zomato-ipo-" +
+          "improving-economics-growth-plans-and-strong-investor-appetite-" +
+          "7173681.html",
+        "7173681", "2021-02-18", "Moneycontrol News", 0L),
+      ("livemint", "mod_en_in_livemint_11613646112891.html.bz2",
+        "https://www.livemint.com/money/personal-finance/term-insurance-" +
+          "policy-premium-likely-to-get-costlier-11613646112891.html",
+        "11613646112891", "2021-02-18", "", 0L),
+      ("forbes", "mod_en_in_forbes_69073.html.bz2",
+        "https://www.forbesindia.com/article/take-one-big-story-of-the-" +
+          "day/dbs-bank-india-gaining-muscle-with-lvb/69123/1",
+        "69123", "2021-07-11", "", 0L),
+      ("business_std", "mod_en_in_business_std_119011800410.html.bz2",
+        "https://www.business-standard.com/article/pti-stories/mukesh-" +
+          "ambani-urges-pm-to-take-steps-against-data-colonisation-" +
+          "119011800410_1.html",
+        "119011800410", "2019-01-18", "Press Trust of India", 0L),
+      ("inexp_business", "mod_en_in_inexp_business_2238510.html.bz2",
+        "https://www.newindianexpress.com/world/2021/feb/01/myanmar-coup-" +
+          "biden-demands-military-cede-power-orders-sanctions-review-" +
+          "2258178.html",
+        "2258178", "2020-12-20", "", -1L)) // -1 = textSize > 5000 below
+    val pages = cases.map(c => (c._3.toLowerCase, fixture(c._2)))
       .toDF("url", "html")
-    val seeds = Seq((hinduUrl, "hindu", 0, 1L), (mcUrl, "moneycontrol", 0, 2L))
+    val seeds = cases.zipWithIndex
+      .map { case (c, i) => (c._3, c._1, 0, (i + 1).toLong) }
       .toDF("url", "source", "priority", "seq")
-    val e = new CrawlEngine(spark, tempDir("crawl-hindu-mc-e2e"), pages,
+    val e = new CrawlEngine(spark, tempDir("crawl-six-e2e"), pages,
       emptyRobots, cfg(2, 2).copy(minTextSize = -1))
     e.init(seeds)
     e.runWave()
@@ -516,13 +540,15 @@ class CrawlWaveSpec extends SparkTestBase {
         col("textSize"), concat_ws("|", col("sourceName")))
       .as[(String, String, String, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(rows("hindu") ==
-      (("30713792", "2020-02-01", 0L, "Special Correspondent")))
-    // moneycontrol's fixture page (6541471) is served for the test URL,
-    // exactly like the reference's mocked fetch: the ID comes from the
-    // URL stack, the date from the page
-    assert(rows("moneycontrol") ==
-      (("7173681", "2021-02-18", 0L, "Moneycontrol News")))
+    cases.foreach { case (src, _, _, id, date, authors, size) =>
+      val (gId, gDate, gSize, gAuth) = rows(src)
+      assert(gId == id && gDate == date && gAuth == authors,
+        s"$src: got ($gId, $gDate, '$gAuth')")
+      if (size >= 0) assert(gSize == size, s"$src textSize: got $gSize")
+      else assert(gSize > 5000,
+        s"$src textSize: got $gSize, want > 5000 " +
+          "(test_mod_en_in_inexp_business.py:123)")
+    }
   }
 
   test("frontier snapshots written BEFORE the depth column still expand " +
