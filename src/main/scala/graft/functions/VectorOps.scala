@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused vector dot product as a native expression. The
+  * `aggregate(zip_with(...))` higher-order formulation evaluates a
+  * lambda per ELEMENT through the interpreted expression walker — for a
+  * d-dim pair that is d lambda frames and 2d boxed casts per pair row.
+  * This expression runs one tight primitive loop over the two ArrayData
+  * buffers instead.
+  *
+  * Summation is the SAME strictly sequential left-fold over
+  * `double(a_i) * double(b_i)` that the HOF form (and DuckDB's
+  * list_inner_product) performs, so scores are bit-identical and every
+  * existing oracle keeps hashing equal. Element types may be FLOAT or
+  * DOUBLE independently per side (the IVF centroids are double arrays,
+  * the embeddings float arrays); the accessor is chosen lazily after
+  * analysis. Unequal lengths use the common prefix — callers only
+  * compare equal-dimension vectors.
+  */
+case class SeqDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"fdot expects ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    if (leftFloat && rightFloat) {
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else if (!leftFloat && !rightFloat) {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    } else {
+      def get(d: ArrayData, f: Boolean, j: Int): Double =
+        if (f) d.getFloat(j).toDouble else d.getDouble(j)
+      while (i < n) {
+        acc += get(x, leftFloat, i) * get(y, rightFloat, i); i += 1
+      }
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "fdot"
+}
+
+object VectorOps {
+  /** Sequential-fold dot product (see [[SeqDotExpr]]). */
+  def fdot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SeqDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

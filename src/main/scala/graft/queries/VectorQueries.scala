@@ -23,13 +23,16 @@ import Tables._
   */
 object VectorQueries {
 
+  /** Dot/norm through the FUSED native expression (VectorOps.fdot):
+    * same sequential left-fold doubles as the higher-order-function
+    * form and DuckDB's list_inner_product — bit-identical scores —
+    * minus the per-element interpreted lambda frames.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.fdot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    sqrt(graft.functions.VectorOps.fdot(a, a))
 
   // (cosine-with-inline-norms was deliberately removed: every call site
   // now uses cosPre with per-side precomputed norm columns)
