@@ -78,4 +78,30 @@ class SourceRegistrySpec extends SparkTestBase {
       "www.moneycontrol.com/msite/decoding-the-world-of-etf/?" +
         "www.moneycontrol.com/mcplus/portfolio/logout.php?"))
   }
+
+  test("domain→source routing (queue_manager.py:346-352): known hosts " +
+      "route, no cross-plugin collisions, dead concat entry verbatim") {
+    val m = SourceRegistry.domainToSource
+    assert(m("www.thehindu.com") == "hindu")
+    assert(m("economictimes.indiatimes.com") == "ecotimes")
+    assert(m("www.newindianexpress.com") == "inexp_business")
+    assert(m("indianexpress.com") == "inexp_business")
+    assert(m("moneycontrol.com") == "moneycontrol")
+    // every (domain, plugin) pair is unique → flatMap size == map size
+    val pairs = SourceRegistry.specs.toSeq
+      .flatMap { case (n, s) => s.allowedDomains.map(_ -> n) }
+    assert(pairs.size == m.size, "cross-plugin domain collision")
+    // the reference's missing-comma concatenated domain is kept dead
+    assert(m.contains("hr.economictimes.indiatimes.com" +
+      "prime.economictimes.indiatimes.com"))
+    // column form routes per row from the url host
+    val got = Seq(
+      "https://www.thehindu.com/business/x",
+      "https://www.livemint.com/money/y",
+      "https://unknown.example.com/z").toDF("url")
+      .select(SourceRegistry.routeByDomain(
+        graft.functions.UrlFunctions.host(col("url"))).as("src"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("hindu"), Some("livemint"), None))
+  }
 }
