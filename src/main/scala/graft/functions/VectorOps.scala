@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DOUBLE independently per side (the IVF centroids are double arrays,
   * the embeddings float arrays); the accessor is chosen lazily after
   * analysis. Unequal lengths use the common prefix — callers only
-  * compare equal-dimension vectors.
+  * compare equal-dimension vectors. NULL ELEMENTS inside an array read
+  * as 0 here, where the HOF form would null the entire sum — the
+  * embedding corpus contains none (containsNull is irrelevant to the
+  * oracles), but a caller feeding sparse arrays should pre-coalesce.
   */
 case class SeqDotExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
