@@ -6,10 +6,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Best-of-N per query (VERDICT r02 item 8: single-run numbers on this
     // host swing ±40%, which makes regression gating unfalsifiable).
-    // Each rep runs the FULL suite in driver order with the cache cleared
-    // first, so a rep measures exactly what a single driver pass would
-    // (incl. the documented jaccard→survivors shingle-cache sharing);
-    // the reported time is the per-query minimum across reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,6 +16,15 @@ object Bench {
     // warm-up: JIT, codegen, parquet footer caches — so per-query numbers
     // reflect steady state rather than first-query startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // A query's number must be SELF-CONTAINED (VERDICT r03 item 2): the
+    // jaccard and survivors plans share one canonicalized-plan cache
+    // entry, so under a per-rep-only clear whichever ran first paid the
+    // ~14s shingle build and the other read ~0.2s — a split that was
+    // measurement order, not cost. Clearing builder caches + the SQL
+    // cache BEFORE EVERY timed query makes each number stable under
+    // query reordering; the shared-cache saving a real driver pass gets
+    // is reported separately as the jaccard→survivors pipeline metric.
+    def fresh(): Unit = { SparkEntry.releaseCaches(); spark.catalog.clearCache() }
     // min is taken over SUCCESSFUL reps only: a rep that throws fast
     // must not mask a slow-but-working query as a fast success. A query
     // that fails in every rep reports -1 (an impossible duration) so
@@ -27,8 +32,8 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failedAll = scala.collection.mutable.LinkedHashSet[String]()
     (1 to reps).foreach { _ =>
-      spark.catalog.clearCache()
       SparkEntry.queries.foreach { case (name, fn) =>
+        fresh()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -40,10 +45,26 @@ object Bench {
       }
     }
     failedAll.foreach(n => best(n) = -1.0)
+    // Pipeline metric: jaccard then survivors in ONE measurement with the
+    // cache SHARED between them — what a driver pass that runs both
+    // actually costs (the per-query isolated numbers above each pay the
+    // full shingle build; a real pass pays it once).
+    val pipeline = (1 to reps).map { _ =>
+      fresh()
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries("q_dedup_jaccard")(spark, sfDir).count()
+        SparkEntry.queries("q_dedup_survivors")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }.filter(_ >= 0) match {
+      case s if s.nonEmpty => s.min
+      case _ => -1.0
+    }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"pipelines":{"dedup_jaccard_then_survivors":$pipeline},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

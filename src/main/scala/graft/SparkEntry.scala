@@ -33,4 +33,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Cache contract: a few query builders `persist()` relations their
+    * plans read more than once (the Jaccard shingle/pair caches). Call
+    * this after consuming a batch of results to drop exactly those
+    * entries — a long-lived session that never calls it (and never
+    * `spark.catalog.clearCache()`) would otherwise retain one
+    * MEMORY_AND_DISK entry per distinct (query, sfDir) plan.
+    * [[graft.Bench]] calls it before every timed measurement;
+    * [[graft.Verify]] runs one pass per JVM so release is implicit.
+    */
+  def releaseCaches(): Unit = graft.queries.QueryCaches.release()
 }

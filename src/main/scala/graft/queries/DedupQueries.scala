@@ -93,20 +93,28 @@ object DedupQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
       |  UNNEST(generate_series(1, len(words) - 2)) AS t(i)""".stripMargin
 
-  /** q_dedup_minhash — MinHash-LSH banding: 4 bands, band signature =
-    * min(md5(band || ':' || shingle)); candidate pair = docs sharing any
-    * band bucket. Signatures are md5-string mins → oracle-checkable.
+  /** q_dedup_minhash — MinHash-LSH banding: 4 bands, band signature b =
+    * min over shingles of the b-th 8-hex-char slice of ONE md5(shingle)
+    * digest; candidate pair = docs sharing any band bucket. A 128-bit
+    * md5 splits into four independent 32-bit hash functions, so slicing
+    * gives the same LSH semantics as four salted digests at a quarter of
+    * the hashing cost — md5 dominated this aggregation's input side
+    * (VERDICT r03 item 1: 4 full digests per shingle occurrence made
+    * this the heaviest bench query). Signatures are hex-string mins →
+    * oracle-checkable.
     */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(corpus(s, dir))
-    // all 4 band minima in ONE map-side-combinable aggregation pass (no
-    // shingle×band cross join — that quadruples the shuffle volume),
-    // then stack() unpivots to (band, sig) for the bucket join
-    val sigs = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("s0"),
-      min(md5(concat(lit("1:"), col("shingle")))).as("s1"),
-      min(md5(concat(lit("2:"), col("shingle")))).as("s2"),
-      min(md5(concat(lit("3:"), col("shingle")))).as("s3"))
+    // ONE digest per shingle occurrence, bound as a real column so the
+    // four slice-minima share it; all 4 band minima in ONE
+    // map-side-combinable aggregation pass (no shingle×band cross join —
+    // that quadruples the shuffle volume), then stack() unpivots to
+    // (band, sig) for the bucket join
+    val sigs = sh.withColumn("_h", md5(col("shingle"))).groupBy("doc_id").agg(
+      min(substring(col("_h"), 1, 8)).as("s0"),
+      min(substring(col("_h"), 9, 8)).as("s1"),
+      min(substring(col("_h"), 17, 8)).as("s2"),
+      min(substring(col("_h"), 25, 8)).as("s3"))
     val bands = sigs.select(col("doc_id"),
       expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -120,7 +128,7 @@ object DedupQueries {
   private val minhashSql = withCtes(
     """,
       |bands AS (
-      |  SELECT doc_id, band, min(md5(concat(CAST(band AS VARCHAR), ':', shingle))) AS sig
+      |  SELECT doc_id, band, min(substr(md5(shingle), band * 8 + 1, 8)) AS sig
       |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
       |  GROUP BY doc_id, band)""".stripMargin,
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -184,8 +192,10 @@ object DedupQueries {
     // MEMORY_AND_DISK so the exploded relation spills instead of OOMing
     // at corpus scale; CacheManager dedups by canonicalized plan, so the
     // survivors query (which re-enters here) shares the same cache entry.
-    val sh = shingleRows(corpus(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both persists are QueryCaches-tracked: the session owner releases
+    // them via SparkEntry.releaseCaches once results are consumed.
+    val sh = QueryCaches.track(shingleRows(corpus(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
@@ -228,13 +238,13 @@ object DedupQueries {
     // pairs only): survivors() rebuilds this exact subtree, so the
     // canonicalized-plan cache hands it the finished result instead of
     // re-running the candidate+common stages a second time per pass
-    common
+    QueryCaches.track(common
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   private val jaccardCtes =
