@@ -133,6 +133,16 @@ final case class SchedulerConfig(
       * ones; it does not top back up.
       */
     maxLinksPerSave: Int = 100,
+    /** Generic paragraph-density body fallback
+      * ([[graft.functions.HtmlExtract.generic_body]]) when a source's
+      * cascade yields less than its minimum length — the analog of the
+      * reference's newspaper-library text path (base_plugin.py:1253-1260),
+      * which is the ONLY body source for the empty-shell cascades
+      * (livemint, business_std). Off by default: the reference's own
+      * fixtures assert length 0 for those plugins, so fixture-parity
+      * pins run with the flag off and real deployments flip it on.
+      */
+    useGenericBodyFallback: Boolean = false,
     /** BFS recursion cap (base_plugin.py:876-951 stops link expansion at
       * depth ≤ 4): a fetched URL expands links only while its OWN depth
       * is below this (per-row `depth` in the frontier, seeds = 0). The

@@ -338,7 +338,47 @@ object ExtractQueries {
       |FROM (SELECT doc_id, CAST(doc_id % 6 AS INT) AS m FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_generic_body — the generic paragraph-density fallback extractor
+    * (HtmlExtract.generic_body; the reference's newspaper-library text
+    * path, base_plugin.py:1253-1260) over a livemint-shaped synthetic
+    * page: nav/share/footer boilerplate paragraphs are short and must be
+    * dropped, the two long article paragraphs survive. The extraction
+    * pipeline itself (regexp_extract_all → strip tags → density filter →
+    * join) is expressed verbatim in DuckDB list functions, so the oracle
+    * independently re-runs the extraction instead of re-synthesizing the
+    * expected output.
+    */
+  private def genericBody(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val html = concat(
+      lit("<html><body><div class=\"nav\"><p>Home</p><p class=\"m\">Sections</p></div>"),
+      lit("<div id=\"mainArea\"><p class=\"p1\">"), substring(col("text"), 1, 120),
+      lit(" end of lead paragraph.</p><p>Short share.</p><p class=\"p2\"><b>Body</b> "),
+      substring(col("text"), 121, 160),
+      lit(" closing sentence of the second paragraph.</p></div>"),
+      lit("<p>(c) 2021 Newsroom</p></body></html>"))
+    d.select(col("doc_id"),
+        graft.functions.HtmlExtract.generic_body(html).as("body"))
+      .orderBy("doc_id")
+  }
+
+  private val genericBodySql = {
+    val body = graft.functions.HtmlExtract.genericBodySql("html")
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    concat('<html><body><div class="nav"><p>Home</p><p class="m">Sections</p></div>',
+      |      '<div id="mainArea"><p class="p1">', substr(text, 1, 120),
+      |      ' end of lead paragraph.</p><p>Short share.</p><p class="p2"><b>Body</b> ',
+      |      substr(text, 121, 160),
+      |      ' closing sentence of the second paragraph.</p></div>',
+      |      '<p>(c) 2021 Newsroom</p></body></html>') AS html
+      |  FROM documents)
+      |""".stripMargin +
+      s"SELECT doc_id, $body AS body\nFROM pages ORDER BY doc_id"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_generic_body", genericBody, Some(genericBodySql)),
     QueryDef("q_body_extract", bodyExtract, Some(bodyExtractSql)),
     QueryDef("q_pubdate_extract", pubdateExtract, Some(pubdateExtractSql)),
     QueryDef("q_article_assembly", articleAssembly, Some(articleAssemblySql)),

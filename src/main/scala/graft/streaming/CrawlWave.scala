@@ -122,7 +122,20 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     fetched
       .withColumn("_html", col("html").cast("string"))
       .filter(length(col("_html")) > minLenOf(col("source"))) // F7 raw gate
-      .withColumn("_body", body)
+      .withColumn("_cascade", body)
+      // Generic paragraph-density fallback (flag-gated; see
+      // SchedulerConfig.useGenericBodyFallback): when the per-source
+      // cascade comes up short the newspaper-library analog extracts
+      // the densest <p> blocks — the reference's primary text path
+      // (base_plugin.py:1253-1260 + plugin checkAndCleanText swap).
+      // `_cascade` is bound as a REAL column first so the conditional
+      // does not re-evaluate the cascade expression per branch.
+      .withColumn("_body",
+        if (cfg.useGenericBodyFallback)
+          when(length(col("_cascade")) < minLenOf(col("source")),
+            graft.functions.HtmlExtract.generic_body(col("_html")))
+            .otherwise(col("_cascade"))
+        else col("_cascade"))
       .select(
         col("url"),
         SourceProfiles.bySource(col("source"))(p =>

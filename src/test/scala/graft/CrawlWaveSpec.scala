@@ -551,6 +551,48 @@ class CrawlWaveSpec extends SparkTestBase {
     }
   }
 
+  test("generic body fallback (newspaper-library analog): livemint page " +
+      "yields '' with the flag off (fixture parity) and real article " +
+      "text with it on") {
+    import java.io.{BufferedInputStream, FileInputStream}
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import spark.implicits._
+    val in = new BZip2CompressorInputStream(new BufferedInputStream(
+      new FileInputStream("/root/reference/test-data/" +
+        "mod_en_in_livemint_11613646112891.html.bz2")))
+    val html = try in.readAllBytes() finally in.close()
+    val url = "https://www.livemint.com/money/personal-finance/term-" +
+      "insurance-policy-premium-likely-to-get-costlier-11613646112891.html"
+    val pages = Seq((url.toLowerCase, html)).toDF("url", "html")
+    val seeds = Seq((url, "livemint", 0, 1L))
+      .toDF("url", "source", "priority", "seq")
+    def run(c: SchedulerConfig): (Long, String) = {
+      val e = new CrawlEngine(spark, tempDir("crawl-generic"), pages,
+        emptyRobots, c)
+      e.init(seeds)
+      e.runWave()
+      e.articlesNow().select(col("textSize"), col("text"))
+        .as[(Long, String)].collect().head
+    }
+    // flag OFF: livemint's cascade is an empty shell
+    // (mod_en_in_livemint.py:254-258) — byte parity with the reference's
+    // own fixture assertion (text length 0); minTextSize = -1 lets the
+    // empty article commit, as in the six-fixture pin above
+    val (sizeOff, textOff) = run(cfg(2, 2).copy(minTextSize = -1))
+    assert(sizeOff == 0L && textOff == "",
+      s"flag off must preserve fixture parity, got size $sizeOff")
+    // flag ON: the cascade's "" falls below the 400-char minimum, so the
+    // paragraph-density generic extractor supplies the article text
+    val (sizeOn, textOn) = run(cfg(2, 2).copy(minTextSize = 400,
+      useGenericBodyFallback = true))
+    assert(sizeOn > 3000L,
+      s"generic fallback should extract the ~12 article paragraphs, got $sizeOn")
+    assert(textOn.contains("Term insurance is a pure risk cover"),
+      "extracted text must contain the article lead")
+    assert(!textOn.contains("function("),
+      "script content must not leak into the extracted body")
+  }
+
   test("frontier snapshots written BEFORE the depth column still expand " +
       "(legacy rows read back with null depth → coalesced to 0)") {
     import spark.implicits._

@@ -147,4 +147,24 @@ class FunctionsSpec extends SparkTestBase {
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     assert(fp(1) == fp(5))
   }
+
+  test("generic_body keeps dense paragraphs only, strips scripts/styles " +
+      "and inline markup") {
+    val lead = "Term premiums are likely to rise as reinsurers revise " +
+      "their rates for the coming year, three people familiar said."
+    val second = "Reinsurers have become cautious after claims rose " +
+      "sharply over the past twelve months across all age bands there."
+    val html = "<html><head><style>p{color:red}</style></head><body>" +
+      // minified JS containing a '<p' token — must NOT leak as a paragraph
+      "<script>var q=1;if(a<p.len){x(\"</p>\")}</script>" +
+      "<div class=\"nav\"><p>Home</p><p>Menu</p></div>" +
+      s"<p class='lead'>$lead</p>" +
+      "<p>Share on socials with your friends today</p>" + // 8 words: dropped
+      s"<p><b>Second</b> $second</p>" +
+      "<p>(c) 2021 Newsroom</p></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(graft.functions.HtmlExtract.generic_body(col("h")).as("b"))
+      .as[String].head()
+    assert(got == s"$lead\nSecond $second", s"got: $got")
+  }
 }
