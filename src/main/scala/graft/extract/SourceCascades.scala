@@ -124,6 +124,34 @@ object SourceCascades {
   def body_text_by_source(html: Column, source: Column): Column =
     ColumnBridge.column(SourceBodyDispatchExpr(
       ColumnBridge.expression(html), ColumnBridge.expression(source)))
+
+  /** mod_en_in_ndtv.py:286-299 — extractArticleTitle: the concatenated
+    * get_text() of every h1[itemprop=headline] (whitespace preserved,
+    * exactly as BeautifulSoup's get_text leaves it). The only per-plugin
+    * title override in the reference. Call-graph nuance kept honest: the
+    * reference never invokes extractArticleTitle from its worker path
+    * (the committed title comes from the newspaper library's parse,
+    * news_event.py:375 setTitle) — here the override IS ndtv's title
+    * source, and the generic `<title>` path stays the fallback both for
+    * the other ten sources and for ndtv pages with no headline block
+    * (mirroring the method's "" return).
+    */
+  def ndtvTitle(html: String): String =
+    HtmlExtract.allBlocksTextByAttr(html, "h1", "itemprop", "headline")
+
+  /** Per-source title overrides; sources absent here use the generic
+    * `<title>` tag extraction at the call site.
+    */
+  val titleRegistry: Map[String, String => String] =
+    Map("ndtv" -> (ndtvTitle(_)))
+
+  /** Column API: per-row source-dispatched title override. NULL when the
+    * source has no override or the override extracts "" — callers
+    * coalesce with the generic `<title>` expression.
+    */
+  def title_by_source(html: Column, source: Column): Column =
+    ColumnBridge.column(SourceTitleDispatchExpr(
+      ColumnBridge.expression(html), ColumnBridge.expression(source)))
 }
 
 /** Catalyst expression dispatching to a per-source extraction cascade. */
@@ -137,6 +165,28 @@ case class SourceBodyExpr(child: Expression, source: String)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"body_text_$source"
+}
+
+/** Per-row dispatch for title overrides ([[SourceCascades.titleRegistry]]):
+  * yields NULL (→ caller's generic fallback) for sources without an
+  * override or when the override extracts nothing.
+  */
+case class SourceTitleDispatchExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(html: Any, source: Any): Any =
+    SourceCascades.titleRegistry
+      .get(source.asInstanceOf[UTF8String].toString) match {
+      case Some(f) =>
+        val t = f(html.asInstanceOf[UTF8String].toString)
+        if (t.isEmpty) null else UTF8String.fromString(t)
+      case None => null
+    }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "title_by_source"
 }
 
 /** Per-row dispatch variant: cascade chosen from the source column. */

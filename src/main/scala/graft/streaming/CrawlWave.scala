@@ -56,6 +56,12 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     StructField("sourceName", ArrayType(StringType)),
     StructField("industries", ArrayType(StringType)),
     StructField("category", StringType),
+    // §1.1 record parity: the reference side-stores each article's raw
+    // HTML (news_event.py:166-167 setHTML / the bz2 .html.bz2 sink) —
+    // carried here as a binary column so a re-extraction pass reads the
+    // articles table alone, no join back to pages. Parquet column
+    // pruning means readers that do not project it never pay its IO.
+    StructField("html", BinaryType),
     StructField("waveId", LongType)))
 
   val frontierT = new SnapshotTable(spark, s"$root/frontier")
@@ -151,7 +157,12 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
               .cascade(html, current_date(), p.dateExtras)),
           graft.functions.DateExtract.publishedDate(html, current_date()))
           .as("pubdate"),
-        regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
+        // per-source title dispatch (only ndtv overrides:
+        // h1[itemprop=headline], mod_en_in_ndtv.py:286-299), generic
+        // <title> tag for everything else / when the override is empty
+        coalesce(
+          graft.extract.SourceCascades.title_by_source(html, col("source")),
+          regexp_extract(html, "(?s)<title>(.*?)</title>", 1)).as("title"),
         // per-plugin checkAndCleanText (repeated-char collapse +
         // subStringsToFilter) between the cascade and P7 cleanText —
         // the reference's base_plugin.py:1321 ordering
@@ -164,6 +175,7 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
         SourceProfiles.bySource(col("source"))(p =>
           SourceProfiles.industries(p, col("url"), html)).as("industries"),
         lit(null).cast(StringType).as("category"),
+        col("html"),
         lit(waveId).as("waveId"))
       .filter(col("textSize") > minLenOf(col("module"))) // F8 text gate
   }

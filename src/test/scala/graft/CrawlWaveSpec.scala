@@ -70,6 +70,26 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(e.articlesNow().count() > 0)
   }
 
+  test("articles carry the raw page html (§1.1 record parity, " +
+      "news_event.py:166-167) and P12 base64 round-trips through the table") {
+    val e = newEngine()
+    e.runWave()
+    val pages = SyntheticPages.pages(spark, N)
+    val arts = e.articlesNow()
+    assert(arts.count() > 0)
+    // the stored bytes are the fetched page bytes — a re-extraction pass
+    // needs no join back to the pages table
+    val mismatch = arts.select(col("url"), col("html"))
+      .join(pages.select(col("url"), col("html").as("expected")), "url")
+      .filter(not(col("html") <=> col("expected"))).count()
+    assert(mismatch == 0, "articles.html must equal the fetched page bytes")
+    // P12 (base_plugin.py base64 encode/decode helpers): encoding the
+    // stored column and decoding it reproduces identical bytes
+    val bad = arts.select(col("html"), unbase64(base64(col("html"))).as("rt"))
+      .filter(not(col("html") <=> col("rt"))).count()
+    assert(bad == 0)
+  }
+
   test("crawl ordering + state identical under different partitioning") {
     val a = newEngine(parts = 4, salts = 4)
     val b = newEngine(parts = 7, salts = 2)

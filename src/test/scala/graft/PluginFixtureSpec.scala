@@ -92,6 +92,32 @@ class PluginFixtureSpec extends SparkTestBase {
     }
   }
 
+  test("ndtv extractArticleTitle pins the fixture headline " +
+      "(h1[itemprop=headline], mod_en_in_ndtv.py:286-299); other sources " +
+      "fall back to the <title> tag") {
+    import spark.implicits._
+    val ndtvHtml = fixture("mod_en_in_ndtv_2373245.html.bz2")
+    val rows = Seq(("ndtv", ndtvHtml),
+      ("livemint", "<html><head><title>Generic Headline</title></head>" +
+        "<body><h1 itemprop=\"headline\">not for this source</h1></body></html>"),
+      ("ndtv", "<html><head><title>TagTitle</title></head><body>no h1</body></html>"))
+      .toDF("source", "html")
+    val out = rows.select(col("source"),
+        coalesce(SourceCascades.title_by_source(col("html"), col("source")),
+          regexp_extract(col("html"), "(?s)<title>(.*?)</title>", 1))
+          .as("title"))
+      .as[(String, String)].collect().toSeq
+    // BeautifulSoup get_text() semantics: surrounding whitespace kept
+    assert(out.head._2 ==
+      " Dollar Rallies On US Recovery Hopes, Bitcoin Near Record $52,640 ",
+      s"ndtv title: got '${out.head._2}'")
+    assert(out(1)._2 == "Generic Headline",
+      "non-ndtv sources must not dispatch to the headline override")
+    assert(out(2)._2 == "TagTitle",
+      "ndtv page with no headline block falls back to <title> " +
+        "(extractArticleTitle returns '')")
+  }
+
   test("hindu cascade: articlestorycontent OVERRIDES p.body paras when " +
       "present (mod_en_in_hindu.py:175-192)") {
     val both =
