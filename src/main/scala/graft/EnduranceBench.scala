@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.core.SchedulerConfig
 import graft.sources.SyntheticPages
@@ -31,10 +32,30 @@ object EnduranceBench {
       numPartitions = cores, saltBuckets = 8, bloomShards = 32,
       compactFrontierEveryWaves = 4)
     val robots = Seq.empty[(String, Seq[String])].toDF("host", "disallowPrefixes")
-    val pages = SyntheticPages.pages(spark, 1000000L, 2000, 3)
+    // Near-duplicate seeding (VERDICT r03 optional #8): every 100th
+    // seeded page is ALSO served under an /alt/ url crawled by a second
+    // source, so the engine-level J4 dedupe (same pubdate, different
+    // module, ≤15% size gap, token-cosine ≥ threshold) has real
+    // cross-module near-dups to tombstone and the post-run
+    // dedupeArticles + survivors-rewrite cost is exercised on state this
+    // size instead of no-oping.
+    // url carries id + 100000 (SyntheticPages.urlOf), so id%100==0 ⇔
+    // the url number ≡ 0 (mod 100)
+    def everyHundredth(c: org.apache.spark.sql.DataFrame) =
+      c.filter(regexp_extract(col("url"), "story-([0-9]+)", 1)
+        .cast("long") % 100 === 0)
+    def toAlt(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "/articles/story-", "/alt/story-")
+    val base = SyntheticPages.pages(spark, 1000000L, 2000, 3)
+    val pages = base.unionByName(
+      everyHundredth(base).withColumn("url", toAlt(col("url"))))
     val root = Files.createTempDirectory("endurance").toString
     val e = new CrawlEngine(spark, root, pages, robots, cfg)
-    e.init(SyntheticPages.seeds(spark, 200000, 2000, 3))
+    val baseSeeds = SyntheticPages.seeds(spark, 200000, 2000, 3)
+    val altSeeds = everyHundredth(baseSeeds).select(
+      toAlt(col("url")).as("url"), lit("synthetic_alt").as("source"),
+      col("priority"), (col("seq") + 1000000L).as("seq"))
+    e.init(baseSeeds.unionByName(altSeeds))
 
     val rows = (1 to waves).map { _ =>
       val t0 = System.nanoTime()
@@ -55,7 +76,9 @@ object EnduranceBench {
          |
          |One engine, $waves consecutive waves at local[$cores]
          |(200000 seeds over 2000 hosts incl. 3 hot, 1000000-page
-         |universe, top-K 40/host, frontier compaction every
+         |universe + every 100th seeded page re-served under an /alt/
+         |url by a second source as a cross-module near-duplicate,
+         |top-K 40/host, frontier compaction every
          |${cfg.compactFrontierEveryWaves} waves). "frontier dirs" is the
          |number of live data dirs in the frontier snapshot — it grows by
          |one per wave (append-only delta) and collapses to 1 at each
@@ -67,8 +90,10 @@ object EnduranceBench {
          |TABLE_ROWS_HERE
          |
          |Post-run table ops on the final state: dedupeArticles tombstoned
-         |$tomb near-duplicates; postProcessArticles enriched $enriched
-         |articles in one pass.
+         |$tomb near-duplicates (the seeded /alt/ copies — same pubdate,
+         |different module, equal size, token-cosine 1.0 — exercising the
+         |J4 join + survivors rewrite at this state size, not a no-op);
+         |postProcessArticles enriched $enriched articles in one pass.
          |
          |Reading: wall time per wave tracks THAT WAVE's scheduled+discovered
          |volume, not the cumulative seen/frontier size — the incremental

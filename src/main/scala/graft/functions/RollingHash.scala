@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,12 +24,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * column ops over the returned array.
   */
 case class RollingHashExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1 && k <= 8, "k must be in [1,8] for exact Long arithmetic")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    RollingHashExpr.compute(input.asInstanceOf[UTF8String], k)
+  /** Codegen (r03's CodegenFallback closed): one static call into the
+    * same tight loop as the interpreted path — the win is staying inside
+    * the surrounding whole-stage span (no InterpretedUnsafeProjection
+    * fallback for the whole projection), not the loop itself.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHashExpr$$.MODULE$$.compute($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"rolling_hash_$k"
+}
+
+object RollingHashExpr {
+  /** The O(n) rolling pass, shared by interpreted eval and codegen. */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
     val n = s.length
     if (n < k) new GenericArrayData(Array.empty[Long])
     else {
@@ -50,9 +67,6 @@ case class RollingHashExpr(child: Expression, k: Int)
       new GenericArrayData(out)
     }
   }
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-  override def prettyName: String = s"rolling_hash_$k"
 }
 
 object RollingHash {

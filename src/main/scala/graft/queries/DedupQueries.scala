@@ -44,28 +44,18 @@ object DedupQueries {
     s"WITH corpus AS ($corpusSql),\n" +
       s"sh_all AS ($shinglesSql)$extra\n$body"
 
-  /** Word 3-gram shingles, exploded: (doc_id, shingle). Pure map-side
-    * array arithmetic (split → index transform → explode) — NO per-doc
-    * window and NO distinct shuffle: shingling must stay scan-local
-    * because every dedup operator evaluates this subtree, often more
-    * than once per plan.
-    */
-  /** Word array bound as a REAL column, then 3-grams over it. Binding
-    * `_words`/`_grams` as multi-referenced columns is load-bearing:
-    * passing `split(text)` directly into the transform lambda lets
-    * Catalyst inline it, re-evaluating split() once per ELEMENT
-    * (measured 3s vs 0.46s on the sf0.1 corpus); multiple references
-    * block CollapseProject from duplicating the expression.
+  /** Word 3-gram array bound as a real column. Round-3 bound the word
+    * array as a column to keep `split()` from re-running per element —
+    * but under this plan shape (explode over the corpus union) Catalyst
+    * still inlined it into every element-level reference, and the
+    * "scan-local" shingling measured ~19 µs per shingle (≈6 s of the
+    * 7-14 s every dedup bench query paid at sf0.1). The round-4 fix is
+    * the native one-pass [[graft.functions.WordNgramsExpr]]: split once
+    * per row, assemble grams by substring copy, whole-stage codegen.
     */
   private def withGrams(c: DataFrame, distinct: Boolean): DataFrame = {
-    val w = col("_words")
-    val raw = when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-          element_at(w, i + 3))))
-      .otherwise(array().cast("array<string>"))
-    c.withColumn("_words", split(col("text"), " "))
-      .withColumn("_grams", if (distinct) array_distinct(raw) else raw)
+    val raw = graft.functions.WordGrams.word_ngrams(col("text"), 3)
+    c.withColumn("_grams", if (distinct) array_distinct(raw) else raw)
   }
 
   /** Word 3-gram shingles, exploded: (doc_id, shingle). Pure map-side

@@ -148,6 +148,70 @@ class FunctionsSpec extends SparkTestBase {
     assert(fp(1) == fp(5))
   }
 
+  test("SeqDotExpr and RollingHashExpr compile under codegen (no silent " +
+      "fallback) and match their interpreted results bit-for-bit") {
+    // spark.sql.codegen.fallback=false turns a janino compile failure
+    // into a thrown error instead of a silent interpreted fallback, so
+    // this test FAILS (not degrades) if the generated code is invalid
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      val withDot = emb.select(col("vec_id"),
+        graft.functions.VectorOps.fdot(col("embedding"), col("embedding"))
+          .as("d"))
+      val dots = withDot.as[(Long, Double)].collect().toMap
+      // interpreted reference: the HOF fold over the same rows
+      val hof = emb.select(col("vec_id"),
+          aggregate(zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("d"))
+        .as[(Long, Double)].collect().toMap
+      dots.foreach { case (id, d) =>
+        assert(java.lang.Double.doubleToLongBits(d) ==
+          java.lang.Double.doubleToLongBits(hof(id)), s"vec $id")
+      }
+      val rh = Seq("the quick brown fox jumps over the lazy dog")
+        .toDF("t")
+        .select(graft.functions.RollingHash.rolling_hashes(col("t"), 8))
+        .as[Seq[Long]].head()
+      assert(rh.length == 36 && rh.head ==
+        "the quic".foldLeft(0L)((h, c) => h * 31L + c))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("WordNgramsExpr equals the builtin split/transform composition " +
+      "on the real corpus (incl. empty-token split semantics) and " +
+      "compiles under codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // split semantics edges: consecutive/leading/trailing spaces keep
+      // empty tokens, exactly like functions.split(text, " ")
+      val edges = Seq("a b c d", " a  b ", "one two", "", "   ",
+        "x y z w v")
+      val w = col("_words")
+      def hof(n: Int) = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      for (n <- Seq(1, 3)) {
+        val both = edges.toDF("text")
+          .withColumn("_words", split(col("text"), " "))
+          .select(graft.functions.WordGrams.word_ngrams(col("text"), n)
+            .as("native"), hof(n).as("ref"))
+          .as[(Seq[String], Seq[String])].collect()
+        both.foreach { case (got, ref) => assert(got == ref, s"n=$n") }
+      }
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val mismatch = d
+        .withColumn("_words", split(col("text"), " "))
+        .select(graft.functions.WordGrams.word_ngrams(col("text"), 3)
+          .as("native"), hof(3).as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count()
+      assert(mismatch == 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("generic_body keeps dense paragraphs only, strips scripts/styles " +
       "and inline markup") {
     val lead = "Term premiums are likely to rise as reinsurers revise " +
