@@ -20,11 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * existing oracle keeps hashing equal. Element types may be FLOAT or
   * DOUBLE independently per side (the IVF centroids are double arrays,
   * the embeddings float arrays); the accessor is chosen lazily after
-  * analysis. Unequal lengths use the common prefix — callers only
-  * compare equal-dimension vectors. NULL ELEMENTS inside an array read
-  * as 0 here, where the HOF form would null the entire sum — the
-  * embedding corpus contains none (containsNull is irrelevant to the
-  * oracles), but a caller feeding sparse arrays should pre-coalesce.
+  * analysis.
+  *
+  * NULL semantics now match the HOF form EXACTLY (r03 "what's wrong"
+  * #3 closed): when either side's element type is nullable
+  * (`containsNull`), a null element — or an element-count mismatch,
+  * which zip_with would null-pad — nulls the whole result, exactly as
+  * `aggregate(zip_with(...))` does. The branch is chosen at PLAN time
+  * from the analyzed array types, so the dense-embedding hot path
+  * (containsNull = false, which is what the parquet corpus carries)
+  * keeps the unchecked tight loop; only genuinely sparse inputs pay
+  * the per-element null check. Unequal lengths in the non-nullable
+  * path use the common prefix — callers there only compare
+  * equal-dimension vectors.
   */
 case class SeqDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,10 +46,32 @@ case class SeqDotExpr(left: Expression, right: Expression)
   }
   @transient private lazy val leftFloat = isFloat(left)
   @transient private lazy val rightFloat = isFloat(right)
+  @transient private lazy val elementsNullable: Boolean =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+      case _ => true
+    }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (elementsNullable) {
+      // HOF parity: zip_with null-pads the shorter side, and a null
+      // product element nulls aggregate's running sum
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += (if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)) *
+          (if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i))
+        i += 1
+      }
+      return acc
+    }
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
@@ -71,14 +101,31 @@ case class SeqDotExpr(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       def get(arr: String, f: Boolean) =
         if (f) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      if (elementsNullable)
+        // nullable-element variant (nullable == true here, so ev.isNull
+        // is an assignable local); mirrors the interpreted path exactly
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
     })
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)

@@ -342,23 +342,29 @@ class CrawlWaveSpec extends SparkTestBase {
     e.runWave()
     val rows = e.articlesNow()
       .select(col("module"), col("uniqueId"), col("pubdate").cast("string"),
-        col("textSize"))
-      .as[(String, String, String, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        col("textSize"), col("title"))
+      .as[(String, String, String, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     // TOI pins: articleID '134129' (P5 data-articlemsid REPLACES the url
     // stack), pubdate 2020-03-14, body 1210 chars
-    assert(rows("timesofindia") == (("134129", "2020-03-14", 1210L)),
-      s"toi got ${rows("timesofindia")}")
+    val t = rows("timesofindia")
+    assert((t._1, t._2, t._3) == (("134129", "2020-03-14", 1210L)),
+      s"toi got $t")
     // indiakanoon pins: articleID '49865912' (P4 doc-url stack), pubdate
     // 2021-01-27 (per-plugin '%d %B, %Y' TITLE extra), textSize > 10000
     val k = rows("indiakanoon")
     assert(k._1 == "49865912" && k._2 == "2021-01-27" && k._3 > 10000L,
       s"kanoon got $k")
     // ndtv pins (test_mod_en_in_ndtv.py:114-124): articleID '2373245',
-    // pubdate 2021-02-18, textSize > 3000
+    // pubdate 2021-02-18, textSize > 3000; title via the per-source
+    // extractArticleTitle dispatch (h1[itemprop=headline],
+    // mod_en_in_ndtv.py:286-299) — NOT the page's <title> tag
     val n = rows("ndtv")
     assert(n._1 == "2373245" && n._2 == "2021-02-18" && n._3 > 3000L,
       s"ndtv got $n")
+    assert(n._4 ==
+      " Dollar Rallies On US Recovery Hopes, Bitcoin Near Record $52,640 ",
+      s"ndtv title got '${n._4}'")
   }
 
   test("dedupe post-processor tombstones the smaller near-duplicate") {

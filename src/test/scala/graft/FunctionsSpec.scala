@@ -180,6 +180,34 @@ class FunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("fdot on NULLABLE-element arrays matches the HOF form exactly " +
+      "(null element or length mismatch nulls the sum) under codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+        (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+        (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+        (Seq[java.lang.Double](null), Seq[java.lang.Double](3.0)),
+        (Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)),
+        (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]))
+      val df = rows.toDF("a", "b")
+      val out = df.select(
+          graft.functions.VectorOps.fdot(col("a"), col("b")).as("native"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x).as("ref"))
+        .collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"row $i nullness")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(1)), s"row $i")
+      }
+      assert(out(0).getDouble(0) == 11.0)
+      assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+      assert(out(4).getDouble(0) == 0.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("WordNgramsExpr equals the builtin split/transform composition " +
       "on the real corpus (incl. empty-token split semantics) and " +
       "compiles under codegen") {
