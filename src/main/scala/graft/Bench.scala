@@ -24,7 +24,11 @@ object Bench {
     // cache BEFORE EVERY timed query makes each number stable under
     // query reordering; the shared-cache saving a real driver pass gets
     // is reported separately as the jaccard→survivors pipeline metric.
-    def fresh(): Unit = { SparkEntry.releaseCaches(); spark.catalog.clearCache() }
+    // blocking release: async block eviction from the previous query
+    // must not overlap the next timed window
+    def fresh(): Unit = {
+      SparkEntry.releaseCaches(blocking = true); spark.catalog.clearCache()
+    }
     // min is taken over SUCCESSFUL reps only: a rep that throws fast
     // must not mask a slow-but-working query as a fast success. A query
     // that fails in every rep reports -1 (an impossible duration) so

@@ -90,10 +90,13 @@ object EnduranceBench {
          |TABLE_ROWS_HERE
          |
          |Post-run table ops on the final state: dedupeArticles tombstoned
-         |$tomb near-duplicates (the seeded /alt/ copies — same pubdate,
-         |different module, equal size, token-cosine 1.0 — exercising the
-         |J4 join + survivors rewrite at this state size, not a no-op);
-         |postProcessArticles enriched $enriched articles in one pass.
+         |$tomb near-duplicates — one copy of each seeded cross-module
+         |pair (same pubdate, different module, token-cosine 1.0; equal
+         |sizes, so the deterministic tie-break removes url_b of the
+         |url-ordered pair — the /articles/ base copy, its /alt/ twin
+         |kept) — exercising the J4 join + survivors rewrite at this
+         |state size, not a no-op; postProcessArticles enriched
+         |$enriched articles in one pass.
          |
          |Reading: wall time per wave tracks THAT WAVE's scheduled+discovered
          |volume, not the cumulative seen/frontier size — the incremental

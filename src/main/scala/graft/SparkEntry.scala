@@ -43,5 +43,6 @@ object SparkEntry {
     * [[graft.Bench]] calls it before every timed measurement;
     * [[graft.Verify]] runs one pass per JVM so release is implicit.
     */
-  def releaseCaches(): Unit = graft.queries.QueryCaches.release()
+  def releaseCaches(blocking: Boolean = false): Unit =
+    graft.queries.QueryCaches.release(blocking)
 }

@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 import org.apache.commons.text.StringEscapeUtils
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{array_join, filter, length, lit, regexp_extract_all, regexp_replace, size, split, transform, trim}
+import org.apache.spark.sql.functions.{array_join, filter, length, lit, regexp_extract_all, regexp_replace, replace, size, split, transform, trim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -302,14 +302,28 @@ object HtmlExtract {
     * "paragraphs"; with the strip + the length AND word-count density
     * conditions the livemint fixture yields exactly its 12 article
     * paragraphs.
+    *
+    * All tag patterns are case-INsensitive (`(?i)` — `<SCRIPT>`/`<P>` are
+    * legal HTML and the reference's lxml parser matches them), and the
+    * common HTML entities are decoded like every cascade path does
+    * (`&nbsp; &quot; &#39; &lt; &gt; &amp;` — amp LAST so `&amp;lt;`
+    * cannot double-decode; the subset is what stays expressible
+    * verbatim in the DuckDB mirror, where a full unescape does not
+    * exist). Decoding happens BEFORE the density bars so `&nbsp;`-glued
+    * words count correctly.
     */
   def generic_body(html: Column, minParaChars: Int = 80,
                    minParaWords: Int = 15): Column = {
     val noScript = regexp_replace(regexp_replace(html,
-      "(?s)<script\\b.*?</script>", " "), "(?s)<style\\b.*?</style>", " ")
+      "(?is)<script\\b.*?</script>", " "), "(?is)<style\\b.*?</style>", " ")
     val paras =
-      regexp_extract_all(noScript, lit("(?s)<p\\b[^>]*>(.*?)</p>"), lit(1))
-    val texts = transform(paras, p => trim(regexp_replace(p, "<[^>]+>", "")))
+      regexp_extract_all(noScript, lit("(?is)<p\\b[^>]*>(.*?)</p>"), lit(1))
+    def decode(c: Column): Column =
+      Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+        "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+    val texts = transform(paras, p =>
+      trim(decode(regexp_replace(p, "<[^>]+>", ""))))
     array_join(filter(texts, t =>
       length(t) >= minParaChars && size(split(t, " ")) >= minParaWords), "\n")
   }
@@ -319,15 +333,21 @@ object HtmlExtract {
     * NULL where Spark's array_join is ''.
     */
   def genericBodySql(htmlExpr: String, minParaChars: Int = 80,
-                     minParaWords: Int = 15): String =
+                     minParaWords: Int = 15): String = {
+    val decoded = Seq("&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "''",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft("regexp_replace(p, '<[^>]+>', '', 'g')") {
+        case (acc, (e, r)) => s"replace($acc, '$e', '$r')"
+      }
     s"coalesce(array_to_string(list_filter(list_transform(" +
       s"regexp_extract_all(regexp_replace(regexp_replace($htmlExpr, " +
-      s"'(?s)<script\\b.*?</script>', ' ', 'g'), " +
-      s"'(?s)<style\\b.*?</style>', ' ', 'g'), " +
-      s"'(?s)<p\\b[^>]*>(.*?)</p>', 1), " +
-      s"p -> trim(regexp_replace(p, '<[^>]+>', '', 'g'))), " +
+      s"'(?is)<script\\b.*?</script>', ' ', 'g'), " +
+      s"'(?is)<style\\b.*?</style>', ' ', 'g'), " +
+      s"'(?is)<p\\b[^>]*>(.*?)</p>', 1), " +
+      s"p -> trim($decoded)), " +
       s"t -> length(t) >= $minParaChars AND " +
       s"len(string_split(t, ' ')) >= $minParaWords), chr(10)), '')"
+  }
 }
 
 /** Catalyst expression wrapping [[HtmlExtract.blockText]]. Deterministic,

@@ -32,8 +32,12 @@ final case class QueryDef(
 object QueryCaches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
-  def release(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = false)); tracked.clear()
+  /** `blocking = true` waits for block eviction before returning —
+    * measurement code must use it so async cleanup from one query never
+    * overlaps the next timed window.
+    */
+  def release(blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking)); tracked.clear()
   }
 }
 

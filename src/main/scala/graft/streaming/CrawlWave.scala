@@ -396,10 +396,19 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   def postProcessArticles(): Long = {
     val wave = lastCompleteWave
     val arts = articlesT.read(articleSchema)
-    val enriched = graft.operators.PostProcess.enrich(arts)
+    // The raw-html payload (typically many times the rest of the record)
+    // is projected OUT before the enrichment persist — enrichment never
+    // touches it, so caching it would multiply memory/spill pressure by
+    // the page payload for nothing — and joined back by url only at
+    // commit, where the rewrite has to carry it anyway. (A url-keyed
+    // html sidecar table written once per wave would avoid even that
+    // rewrite cost; kept on the record for §1.1 parity.)
+    val enriched = graft.operators.PostProcess.enrich(arts.drop("html"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = enriched.count()
-    articlesT.commitReplace(enriched, wave, Map("enriched" -> n))
+    articlesT.commitReplace(
+      enriched.join(arts.select(col("url"), col("html")), Seq("url"), "left"),
+      wave, Map("enriched" -> n))
     enriched.unpersist()
     n
   }

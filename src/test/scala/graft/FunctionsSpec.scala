@@ -258,5 +258,16 @@ class FunctionsSpec extends SparkTestBase {
       .select(graft.functions.HtmlExtract.generic_body(col("h")).as("b"))
       .as[String].head()
     assert(got == s"$lead\nSecond $second", s"got: $got")
+    // case-insensitive tags (<SCRIPT>/<P> are legal HTML) + entity decode
+    val upper = "<HTML><BODY>" +
+      "<SCRIPT>var q=1;if(a<p.len){leak(\"</p>\")}</SCRIPT>" +
+      s"<P CLASS='x'>${lead.replace("three", "three &amp; four")
+        .replace("rates", "&quot;rates&quot;")}</P>" +
+      "</BODY></HTML>"
+    val gotUpper = Seq(upper).toDF("h")
+      .select(graft.functions.HtmlExtract.generic_body(col("h")).as("b"))
+      .as[String].head()
+    assert(gotUpper == lead.replace("three", "three & four")
+      .replace("rates", "\"rates\""), s"got: $gotUpper")
   }
 }
