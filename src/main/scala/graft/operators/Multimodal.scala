@@ -107,6 +107,108 @@ object Multimodal {
     (scaled(w), scaled(h))
   }
 
+  // ---- REAL decoder: uncompressed 24-bpp BMP ------------------------------
+  // The codec STUB above stands in for formats whose decoders need
+  // native libraries (JPEG/PNG/audio). Uncompressed BMP needs none —
+  // it is pure byte arithmetic — so the engine carries an honest
+  // decoder for it: header validation, little-endian fields, BOTTOM-UP
+  // row order, and 4-byte row-stride padding are all real parsing that
+  // the oracle checks through a build→decode round trip.
+
+  final case class BmpRow(doc_id: Long, width: Int, height: Int,
+                          sum_b: Long, sum_g: Long, sum_r: Long, px00_g: Int)
+
+  /** Deterministic synthetic 24-bpp bottom-up BMP: pixel (x, y) has
+    * B = (docId + 2x) % 256, G = (docId + 3y) % 256,
+    * R = (docId + x·y) % 256 — formulas a SQL oracle reproduces
+    * exactly. Rows are written bottom-up with 4-byte stride padding,
+    * so a decoder that ignores either produces wrong answers.
+    */
+  def buildBmp24(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; le32(2, size); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24)
+    le32(30, 0); le32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * stride // bottom-up: logical row y
+      var x = 0
+      while (x < w) {
+        b(base + x * 3) = ((docId + 2 * x) % 256).toByte
+        b(base + x * 3 + 1) = ((docId + 3 * y) % 256).toByte
+        b(base + x * 3 + 2) = ((docId + x.toLong * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Parse an uncompressed 24-bpp BMP: returns (width, height, channel
+    * sums over all pixels, G of the LOGICAL top-left pixel — which
+    * lives in the LAST stored row, so mishandled bottom-up order is
+    * caught). None for anything that is not a well-formed uncompressed
+    * 24-bpp BMP (callers fall back to [[decodeStub]]).
+    */
+  def decodeBmp24(p: Array[Byte]): Option[BmpRow] = {
+    def le32(off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off = le32(10); val w = le32(18); val h = le32(22)
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h <= 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || p.length < off.toLong + stride.toLong * h) return None
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var r = 0
+    while (r < h) {
+      val base = off + r * stride
+      var x = 0
+      while (x < w) {
+        sb += p(base + x * 3) & 0xff
+        sg += p(base + x * 3 + 1) & 0xff
+        sr += p(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    val px00g = p(off + (h - 1) * stride + 1) & 0xff
+    Some(BmpRow(-1L, w, h, sb, sg, sr, px00g))
+  }
+
+  /** Batched real decode: same mapPartitions shape as [[decodeBatched]];
+    * rows that are not valid BMPs are dropped (a production pipeline
+    * would route them to the stub/codec path instead).
+    */
+  def decodeBmpBatched(media: Dataset[MediaRow]): Dataset[BmpRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m =>
+        decodeBmp24(m.payload).map(_.copy(doc_id = m.doc_id)))
+    }
+  }
+
+  /** BMP media table from documents: every doc carries a real 7×5
+    * 24-bpp bitmap (odd width → 3 bytes of row padding exercised).
+    */
+  def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", buildBmp24(id, 7, 5))))
+  }
+
   /** Build a media table from documents: payload = magic + UTF-8 bytes
     * (deterministic; real pipelines read the bytes from the lake).
     */

@@ -656,6 +656,37 @@ object MiscQueries {
       |    CAST(doc_id + 70000 AS VARCHAR), '.ece') AS url
       |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
+  /** q_bmp_decode — the REAL (non-stub) multimodal decode path: every
+    * document carries a genuine uncompressed 24-bpp BMP (7×5, odd width
+    * so the 4-byte row-stride padding is exercised, bottom-up row
+    * order) built from arithmetic pixel formulas; the engine then
+    * PARSES the bytes back (Multimodal.decodeBmp24 — header
+    * validation, little-endian fields, stride, bottom-up). The oracle
+    * recomputes the expected channel sums and the logical-top-left
+    * G value from the same formulas, so a decoder that ignores
+    * padding or row order fails the hash compare.
+    */
+  private def bmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeBmpBatched(Multimodal.bmpFromDocuments(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sum_b"), col("sum_g"), col("sum_r"), col("px00_g"))
+      .orderBy("doc_id")
+  }
+
+  private val bmpDecodeSql =
+    """WITH px AS (
+      |  SELECT doc_id, x, y FROM documents,
+      |    UNNEST(generate_series(0, 6)) AS tx(x),
+      |    UNNEST(generate_series(0, 4)) AS ty(y))
+      |SELECT doc_id, 7 AS width, 5 AS height,
+      |  CAST(sum((doc_id + 2 * x) % 256) AS BIGINT) AS sum_b,
+      |  CAST(sum((doc_id + 3 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(min(doc_id % 256) AS INT) AS px00_g
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q_frame_sample — the one-row→many-frames multimodal batch shape
     * (builder brief): each media row yields ⌈n_bytes/256⌉ frame rows
     * through the typed mapPartitions+flatMap path (Multimodal
@@ -723,6 +754,7 @@ object MiscQueries {
       |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bmp_decode", bmpDecode, Some(bmpDecodeSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q_source_filters", sourceFilters, Some(sourceFiltersSql)),

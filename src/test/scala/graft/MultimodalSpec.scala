@@ -87,4 +87,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(stats.length == 3) // image / audio / video
     assert(stats.forall(_.getLong(1) > 0))
   }
+
+  test("BMP decoder: build->decode round trip, bottom-up row order, " +
+      "stride padding, and malformed-input rejection") {
+    // hand-computed golden: docId=10, 2x2 (stride 8, 2 pad bytes/row)
+    //   B(x,y) = 10+2x -> {10,12,10,12} sum 44
+    //   G(x,y) = 10+3y -> {10,10,13,13} sum 46
+    //   R(x,y) = 10+xy -> {10,10,10,11} sum 41
+    //   logical (0,0) lives in the LAST stored row; its G = 10
+    val g = Multimodal.decodeBmp24(Multimodal.buildBmp24(10L, 2, 2)).get
+    assert((g.width, g.height, g.sum_b, g.sum_g, g.sum_r, g.px00_g) ==
+      ((2, 2, 44L, 46L, 41L, 10)))
+    // a decoder reading rows TOP-down would report px00_g = 10+3*1 = 13
+    // round trip across ids/sizes incl. wrap-around past byte 255
+    for (id <- Seq(0L, 7L, 250L, 100000L); (w, h) <- Seq((7, 5), (4, 3), (1, 1))) {
+      val r = Multimodal.decodeBmp24(Multimodal.buildBmp24(id, w, h)).get
+      val expB = (for (x <- 0 until w; _ <- 0 until h) yield (id + 2 * x) % 256).sum
+      val expG = (for (_ <- 0 until w; y <- 0 until h) yield (id + 3 * y) % 256).sum
+      assert((r.width, r.height, r.sum_b, r.sum_g, r.px00_g) ==
+        ((w, h, expB, expG, (id % 256).toInt)), s"id=$id ${w}x$h")
+    }
+    // malformed payloads are rejected, not misparsed
+    val ok = Multimodal.buildBmp24(3L, 7, 5)
+    assert(Multimodal.decodeBmp24("JPEG".getBytes).isEmpty) // wrong magic
+    assert(Multimodal.decodeBmp24(ok.take(53)).isEmpty)     // truncated header
+    assert(Multimodal.decodeBmp24(ok.take(60)).isEmpty)     // truncated pixels
+    val badBpp = ok.clone(); badBpp(28) = 8
+    assert(Multimodal.decodeBmp24(badBpp).isEmpty)          // not 24-bpp
+    val compressed = ok.clone(); compressed(30) = 1
+    assert(Multimodal.decodeBmp24(compressed).isEmpty)      // RLE not supported
+  }
 }
