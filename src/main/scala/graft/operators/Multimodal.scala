@@ -209,6 +209,124 @@ object Multimodal {
       .mapPartitions(_.map(id => MediaRow(id, "image", buildBmp24(id, 7, 5))))
   }
 
+  // ---- REAL decoder: RIFF/WAVE PCM-16 audio -------------------------------
+  // Same reasoning as BMP: PCM WAV needs no codec library — RIFF chunk
+  // walking, little-endian header fields, and interleaved int16 frames
+  // are pure byte arithmetic — so the audio modality also carries an
+  // honest decoder next to the stub.
+
+  final case class WavRow(doc_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Long, sum_abs: Long, peak: Int,
+                          first_s0: Int)
+
+  /** Deterministic PCM-16 WAV: frame i, channel ch has sample
+    * s = ((docId·31 + i·7 + ch·13) % 2048) − 1024 (int16-safe, SQL-
+    * reproducible). Every 4th doc gets a junk `LIST` chunk between
+    * `fmt ` and `data`, so a decoder that assumes data at byte 36
+    * instead of WALKING chunks misparses it.
+    */
+  def buildWavPcm16(docId: Long, frames: Int, sampleRate: Int,
+                    channels: Int): Array[Byte] = {
+    val junk = if (docId % 4 == 0) 12 else 0 // "LIST" + size + 4 payload
+    val dataSize = frames * channels * 2
+    val b = new Array[Byte](44 + junk + dataSize)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
+    tag(0, "RIFF"); le32(4, b.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2); le16(34, 16)
+    var off = 36
+    if (junk > 0) { tag(off, "LIST"); le32(off + 4, 4); off += 12 }
+    tag(off, "data"); le32(off + 4, dataSize)
+    var i = 0
+    while (i < frames) {
+      var ch = 0
+      while (ch < channels) {
+        val s = ((docId * 31 + i.toLong * 7 + ch * 13) % 2048 - 1024).toInt
+        le16(off + 8 + (i * channels + ch) * 2, s & 0xffff)
+        ch += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Parse a PCM-16 RIFF/WAVE payload by WALKING its chunks (fmt may be
+    * followed by LIST/INFO or other chunks before data). Returns frame
+    * count, Σ|sample| and peak over all channels, and the first sample
+    * of channel 0. None for non-WAV / non-PCM-16 payloads.
+    */
+  def decodeWavPcm16(p: Array[Byte]): Option[WavRow] = {
+    def le32(off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def tag(off: Int): String =
+      new String(p.slice(off, off + 4), "US-ASCII")
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var chans = -1; var dataOff = -1; var dataLen = -1
+    while (off + 8 <= p.length && (dataOff < 0 || rate < 0)) {
+      val id = tag(off); val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || le16(off + 8) != 1 || le16(off + 8 + 14) != 16)
+            return None // PCM int16 only
+          chans = le16(off + 8 + 2); rate = le32(off + 8 + 4)
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => () // skip unknown chunks (LIST/INFO/fact/...)
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (rate <= 0 || chans <= 0 || dataOff < 0 || dataLen % (chans * 2) != 0)
+      return None
+    val frames = dataLen / (chans * 2)
+    var sum = 0L; var peak = 0
+    var i = 0
+    while (i < dataLen) {
+      val s = (le16(dataOff + i) << 16) >> 16 // sign-extend int16
+      val a = math.abs(s)
+      sum += a; if (a > peak) peak = a
+      i += 2
+    }
+    val first = if (frames > 0) (le16(dataOff) << 16) >> 16 else 0
+    Some(WavRow(-1L, rate, chans, frames.toLong, sum, peak, first))
+  }
+
+  /** Batched real audio decode (same shape as [[decodeBmpBatched]]). */
+  def decodeWavBatched(media: Dataset[MediaRow]): Dataset[WavRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m =>
+        decodeWavPcm16(m.payload).map(_.copy(doc_id = m.doc_id)))
+    }
+  }
+
+  /** WAV media table from documents: per-doc frame count, rate, and
+    * channel count all vary with doc_id.
+    */
+  def wavFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "audio", buildWavPcm16(id,
+          frames = 50 + (id % 50).toInt,
+          sampleRate = 8000 * (1 + (id % 3).toInt),
+          channels = 1 + (id % 2).toInt))
+      })
+  }
+
   /** Build a media table from documents: payload = magic + UTF-8 bytes
     * (deterministic; real pipelines read the bytes from the lake).
     */

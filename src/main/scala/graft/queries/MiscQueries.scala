@@ -687,6 +687,45 @@ object MiscQueries {
       |  CAST(min(doc_id % 256) AS INT) AS px00_g
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q_wav_decode — the REAL audio decode path: every document carries
+    * a genuine PCM-16 RIFF/WAVE payload (frame count, sample rate, and
+    * channel count all vary with doc_id; every 4th doc has a junk LIST
+    * chunk between `fmt ` and `data` so the parser must WALK chunks,
+    * not assume offsets). The engine parses the bytes back
+    * (Multimodal.decodeWavPcm16) and emits per-doc audio features
+    * (Σ|sample|, peak, first sample); the oracle recomputes them from
+    * the same sample formula.
+    */
+  private def wavDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeWavBatched(Multimodal.wavFromDocuments(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("sum_abs"), col("peak"), col("first_s0"))
+      .orderBy("doc_id")
+  }
+
+  private val wavDecodeSql =
+    """WITH params AS (
+      |  SELECT doc_id,
+      |    50 + CAST(doc_id % 50 AS INT) AS frames,
+      |    8000 * (1 + CAST(doc_id % 3 AS INT)) AS sample_rate,
+      |    1 + CAST(doc_id % 2 AS INT) AS channels
+      |  FROM documents),
+      |samples AS (
+      |  SELECT doc_id, frames, sample_rate, channels,
+      |    (doc_id * 31 + i * 7 + ch * 13) % 2048 - 1024 AS s
+      |  FROM params,
+      |    UNNEST(generate_series(0, frames - 1)) AS ti(i),
+      |    UNNEST(generate_series(0, channels - 1)) AS tc(ch))
+      |SELECT doc_id, sample_rate, channels,
+      |  CAST(frames AS BIGINT) AS n_frames,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(min(doc_id * 31 % 2048 - 1024) AS INT) AS first_s0
+      |FROM samples GROUP BY doc_id, sample_rate, channels, frames
+      |ORDER BY doc_id""".stripMargin
+
   /** q_frame_sample — the one-row→many-frames multimodal batch shape
     * (builder brief): each media row yields ⌈n_bytes/256⌉ frame rows
     * through the typed mapPartitions+flatMap path (Multimodal
@@ -755,6 +794,7 @@ object MiscQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_bmp_decode", bmpDecode, Some(bmpDecodeSql)),
+    QueryDef("q_wav_decode", wavDecode, Some(wavDecodeSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q_source_filters", sourceFilters, Some(sourceFiltersSql)),

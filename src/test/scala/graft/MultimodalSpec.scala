@@ -117,4 +117,35 @@ class MultimodalSpec extends SparkTestBase {
     val compressed = ok.clone(); compressed(30) = 1
     assert(Multimodal.decodeBmp24(compressed).isEmpty)      // RLE not supported
   }
+
+  test("WAV decoder: chunk walking, sign extension, stereo interleave, " +
+      "malformed rejection") {
+    // golden: docId=2, 3 frames, 1 ch: s(i) = (62 + 7i) % 2048 - 1024
+    //   -> {-962, -955, -948}; sum_abs 2865, peak 962, first -962
+    val mono = Multimodal.decodeWavPcm16(
+      Multimodal.buildWavPcm16(2L, 3, 8000, 1)).get
+    assert((mono.sample_rate, mono.channels, mono.n_frames, mono.sum_abs,
+      mono.peak, mono.first_s0) == ((8000, 1, 3L, 2865L, 962, -962)))
+    // docId=4 inserts the junk LIST chunk: a parser that assumes data
+    // at offset 36 would misread; chunk walking must skip it
+    val withJunk = Multimodal.decodeWavPcm16(
+      Multimodal.buildWavPcm16(4L, 5, 16000, 2)).get
+    val exp = (for (i <- 0 until 5; ch <- 0 until 2)
+      yield math.abs((4L * 31 + i * 7 + ch * 13) % 2048 - 1024)).sum
+    assert((withJunk.channels, withJunk.n_frames, withJunk.sum_abs) ==
+      ((2, 5L, exp)))
+    // positive and negative samples both round-trip (sign extension)
+    val big = Multimodal.decodeWavPcm16(
+      Multimodal.buildWavPcm16(1000L, 300, 24000, 2)).get
+    assert(big.n_frames == 300L && big.peak <= 1024)
+    // malformed payloads
+    val ok = Multimodal.buildWavPcm16(3L, 4, 8000, 1)
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxAVI ".getBytes ++
+      new Array[Byte](40)).isEmpty)                      // not WAVE
+    assert(Multimodal.decodeWavPcm16(ok.take(43)).isEmpty) // truncated
+    val badFmt = ok.clone(); badFmt(20) = 3                // float PCM
+    assert(Multimodal.decodeWavPcm16(badFmt).isEmpty)
+    val bad8bit = ok.clone(); bad8bit(34) = 8
+    assert(Multimodal.decodeWavPcm16(bad8bit).isEmpty)
+  }
 }
