@@ -726,6 +726,41 @@ object MiscQueries {
       |FROM samples GROUP BY doc_id, sample_rate, channels, frames
       |ORDER BY doc_id""".stripMargin
 
+  /** q_avi_decode — the REAL video decode path: every document carries
+    * a genuine uncompressed AVI (nested RIFF: avih main header inside
+    * the hdrl LIST, 3-5 bottom-up DIB frames as 00db chunks inside the
+    * movi LIST, stride padding at width 5) parsed back by
+    * Multimodal.decodeAvi, which also cross-checks the counted frames
+    * against the header's dwTotalFrames. The oracle recomputes frame
+    * count, per-channel sums across all frames, and frame 0's
+    * logical-top-left G (bottom-up discriminator) from the same pixel
+    * formulas.
+    */
+  private def aviDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeAviBatched(Multimodal.aviFromDocuments(s, dir))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("sum_b"), col("sum_g"), col("sum_r"), col("f0_px00_g"))
+      .orderBy("doc_id")
+  }
+
+  private val aviDecodeSql =
+    """WITH params AS (
+      |  SELECT doc_id, 3 + CAST(doc_id % 3 AS INT) AS nf FROM documents),
+      |px AS (
+      |  SELECT doc_id, nf, f, x, y FROM params,
+      |    UNNEST(generate_series(0, nf - 1)) AS tf(f),
+      |    UNNEST(generate_series(0, 4)) AS tx(x),
+      |    UNNEST(generate_series(0, 3)) AS ty(y))
+      |SELECT doc_id, 5 AS width, 4 AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(sum((doc_id + f + 2 * x) % 256) AS BIGINT) AS sum_b,
+      |  CAST(sum((doc_id + 2 * f + 3 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + f * x + y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(min(doc_id % 256) AS INT) AS f0_px00_g
+      |FROM px GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
   /** q_frame_sample — the one-row→many-frames multimodal batch shape
     * (builder brief): each media row yields ⌈n_bytes/256⌉ frame rows
     * through the typed mapPartitions+flatMap path (Multimodal
@@ -795,6 +830,7 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_bmp_decode", bmpDecode, Some(bmpDecodeSql)),
     QueryDef("q_wav_decode", wavDecode, Some(wavDecodeSql)),
+    QueryDef("q_avi_decode", aviDecode, Some(aviDecodeSql)),
     QueryDef("q_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q_source_filters", sourceFilters, Some(sourceFiltersSql)),

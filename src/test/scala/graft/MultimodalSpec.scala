@@ -148,4 +148,34 @@ class MultimodalSpec extends SparkTestBase {
     val bad8bit = ok.clone(); bad8bit(34) = 8
     assert(Multimodal.decodeWavPcm16(bad8bit).isEmpty)
   }
+
+  test("AVI decoder: nested RIFF walk, frame-count cross-check, " +
+      "bottom-up frames, malformed rejection") {
+    // golden: docId=1, 2 frames of 2x2 (stride 8)
+    //   B(f,x,y)=1+f+2x  -> f0 {1,3,1,3} f1 {2,4,2,4} sum 20
+    //   G(f,x,y)=1+2f+3y -> f0 {1,1,4,4} f1 {3,3,6,6} sum 28
+    //   R(f,x,y)=1+fx+y  -> f0 {1,1,2,2} f1 {1,2,2,3} sum 14
+    //   frame0 logical (0,0) G = 1 (stored in the LAST DIB row)
+    val g = Multimodal.decodeAvi(Multimodal.buildAvi(1L, 2, 2, 2)).get
+    assert((g.width, g.height, g.n_frames, g.sum_b, g.sum_g, g.sum_r,
+      g.f0_px00_g) == ((2, 2, 2L, 20L, 28L, 14L, 1)))
+    // round trip at the query's 5x4 shape (1 pad byte per row)
+    for (id <- Seq(0L, 200L, 99999L)) {
+      val nf = 3 + (id % 3).toInt
+      val r = Multimodal.decodeAvi(Multimodal.buildAvi(id, nf, 5, 4)).get
+      val expG = (for (f <- 0 until nf; _ <- 0 until 5; y <- 0 until 4)
+        yield (id + 2L * f + 3 * y) % 256).sum
+      assert((r.n_frames, r.sum_g, r.f0_px00_g) ==
+        ((nf.toLong, expG, (id % 256).toInt)), s"id=$id")
+    }
+    // malformed: header/frame mismatch rejected, not half-parsed
+    val ok2 = Multimodal.buildAvi(5L, 3, 5, 4)
+    val lyingHeader = ok2.clone()
+    // dwTotalFrames byte: RIFF(12) + LIST hdr(12) + avih hdr(8) + 16 = 48
+    lyingHeader(48) = 9
+    assert(Multimodal.decodeAvi(lyingHeader).isEmpty)
+    assert(Multimodal.decodeAvi("RIFFxxxxWAVE".getBytes ++
+      new Array[Byte](40)).isEmpty) // not AVI
+    assert(Multimodal.decodeAvi(ok2.take(ok2.length - 10)).isEmpty) // truncated
+  }
 }
