@@ -143,6 +143,15 @@ final case class SchedulerConfig(
       * pins run with the flag off and real deployments flip it on.
       */
     useGenericBodyFallback: Boolean = false,
+    /** Prepend deterministic NLP keywords (top-frequency non-stopword
+      * terms of the extracted text, [[graft.functions.TopTerms]]) to the
+      * meta-keyword merge, the way importNewspaperArticleData puts
+      * `newspaperArticle.keywords` FIRST (news_event.py:379-384). Off by
+      * default: the reference fixtures never exercise the newspaper
+      * library, so fixture-parity pins run without it and real
+      * deployments flip it on.
+      */
+    useNlpKeywords: Boolean = false,
     /** BFS recursion cap (base_plugin.py:876-951 stops link expansion at
       * depth ≤ 4): a fetched URL expands links only while its OWN depth
       * is below this (per-row `depth` in the frontier, seeds = 0). The

@@ -405,16 +405,32 @@ object SourceProfiles {
       call_function("replace", c, lit(s), lit(" ")))
   }
 
-  /** P18 keyword merge: `keywords` + `news_keywords` metas, comma-split,
-    * trimmed, first-seen-deduped (news_event.py:360-385, :206-218).
+  /** P18 keyword merge (news_event.py:360-385, :206-218): newspaper-NLP
+    * keywords (stand-in: [[graft.functions.TopTerms]] over the extracted
+    * text — importNewspaperArticleData prepends `newspaperArticle
+    * .keywords` BEFORE the two metas, news_event.py:379-384), then the
+    * `keywords` + `news_keywords` metas comma-split. setKeyWords then
+    * runs the FULL NewsEvent.cleanText on every keyword (guarded by the
+    * reference's `len > 1` gate, news_event.py:270) and first-seen
+    * dedupes AFTER cleaning (two raw keywords can collapse to one
+    * cleaned form — order matters, news_event.py:206-218). A meta
+    * contributes only when PRESENT (the reference checks membership in
+    * `meta_data`); a present-but-empty meta contributes [''], which
+    * survives — the reference never drops empty keywords.
     */
-  def keywords(html: Column): Column = {
-    def meta(name: String) =
-      regexp_extract(html, s"<meta name=\"$name\" content=\"([^\"]*)\"", 1)
-    val merged = concat(split(meta("keywords"), ","),
-      split(meta("news_keywords"), ","))
-    filter(array_distinct(transform(merged, k => trim(k))),
-      k => length(k) > 0)
+  def keywords(html: Column, nlpText: Option[Column] = None): Column = {
+    def metaArr(name: String) = {
+      val pat = s"<meta name=\"$name\" content=\"([^\"]*)\""
+      when(regexp_like(html, lit(pat)), split(regexp_extract(html, pat, 1), ","))
+        .otherwise(array().cast("array<string>"))
+    }
+    val nlpPart = nlpText
+      .map(t => graft.functions.TopTerms.top_terms(t, 10))
+      .getOrElse(array().cast("array<string>"))
+    val merged = concat(nlpPart, metaArr("keywords"), metaArr("news_keywords"))
+    val cleaned = transform(merged, k =>
+      when(length(k) > 1, graft.functions.TextClean.cleanText(k)).otherwise(k))
+    array_distinct(cleaned)
   }
 
   /** Per-row source-dispatched column: `f(profile)` per known source,

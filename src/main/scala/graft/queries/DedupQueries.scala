@@ -85,21 +85,33 @@ object DedupQueries {
 
   /** q_dedup_minhash — MinHash-LSH banding: 4 bands, band signature b =
     * min over shingles of the b-th 8-hex-char slice of ONE md5(shingle)
-    * digest; candidate pair = docs sharing any band bucket. A 128-bit
-    * md5 splits into four independent 32-bit hash functions, so slicing
-    * gives the same LSH semantics as four salted digests at a quarter of
-    * the hashing cost — md5 dominated this aggregation's input side
-    * (VERDICT r03 item 1: 4 full digests per shingle occurrence made
-    * this the heaviest bench query). Signatures are hex-string mins →
-    * oracle-checkable.
+    * digest; a doc pair is a near-dup candidate when it shares any band
+    * bucket. A 128-bit md5 splits into four independent 32-bit hash
+    * functions, so slicing gives the same LSH semantics as four salted
+    * digests at a quarter of the hashing cost (VERDICT r03 item 1).
+    * Signatures are hex-string mins → oracle-checkable.
+    *
+    * Candidate generation is REPRESENTATIVE ELECTION, not a bucket
+    * self-join (VERDICT r04 item 1): groupBy (band, sig) elects rep =
+    * min(doc_id) per bucket, and each member emits ONE edge (rep,
+    * member). A k-doc duplicate cluster — boilerplate/mirror clusters of
+    * 10⁵-10⁶ near-identical pages are routine at web scale, and they
+    * land in the SAME bucket in every band — now produces k−1 edge rows
+    * per band (deduped to k−1) instead of ~4·k²/2 pair rows: the join
+    * output is bounded by |bands| rows TOTAL because the rep side has
+    * exactly one row per join key, so no bucket can go quadratic. The
+    * edges carry the same connected components as the all-pairs form
+    * (every member links to its bucket's rep), which is what downstream
+    * clustering consumes; the map-side partial agg also shrinks the rep
+    * side to |buckets| rows before it ever shuffles.
     */
-  private def minhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(corpus(s, dir))
+  private[graft] def minhashEdges(c: DataFrame): DataFrame = {
+    val sh = shingles(c)
     // ONE digest per shingle occurrence, bound as a real column so the
     // four slice-minima share it; all 4 band minima in ONE
     // map-side-combinable aggregation pass (no shingle×band cross join —
     // that quadruples the shuffle volume), then stack() unpivots to
-    // (band, sig) for the bucket join
+    // (band, sig) for the per-bucket rep election
     val sigs = sh.withColumn("_h", md5(col("shingle"))).groupBy("doc_id").agg(
       min(substring(col("_h"), 1, 8)).as("s0"),
       min(substring(col("_h"), 9, 8)).as("s1"),
@@ -107,23 +119,26 @@ object DedupQueries {
       min(substring(col("_h"), 25, 8)).as("s3"))
     val bands = sigs.select(col("doc_id"),
       expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val reps = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("doc_a"))
+    bands.join(reps, Seq("band", "sig"))
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    minhashEdges(corpus(s, dir))
 
   private val minhashSql = withCtes(
     """,
       |bands AS (
       |  SELECT doc_id, band, min(substr(md5(shingle), band * 8 + 1, 8)) AS sig
       |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
-      |  GROUP BY doc_id, band)""".stripMargin,
-    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY doc_id, band),
+      |reps AS (SELECT band, sig, min(doc_id) AS doc_a FROM bands GROUP BY band, sig)""".stripMargin,
+    """SELECT DISTINCT doc_a, b.doc_id AS doc_b
+      |FROM reps JOIN bands b USING (band, sig)
+      |WHERE b.doc_id > doc_a
       |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** q_dedup_simhash — 8-bit SimHash from md5 nibbles: bit_p = sign of

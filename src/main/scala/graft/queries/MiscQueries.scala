@@ -213,37 +213,98 @@ object MiscQueries {
       |  substr(text, 1, 30) AS roundtrip
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q_keyword_merge — P18 keyword import/clean (news_event.py:360-385):
-    * merge two keyword sources, split on commas, first-seen dedupe
-    * preserving order, render as an ordered array.
+  /** DuckDB mirror of the full [[graft.functions.TextClean.cleanText]]
+    * chain applied to a SQL expression: the ordered literal
+    * substitutions, the char-list→space translate (clean_non_utf8 is a
+    * no-op on valid strings), fixSentenceGaps, trim — generated from the
+    * SAME Seq the Spark chain folds over, so the two cannot drift.
+    */
+  private def cleanTextDuck(e: String): String = {
+    import graft.functions.TextClean
+    def esc(x: String) = x.replace("'", "''")
+    val replaced = TextClean.orderedSubstitutions.foldLeft(e) {
+      case (acc, (a, b)) => s"replace($acc, '${esc(a)}', '${esc(b)}')"
+    }
+    val spaces = " " * TextClean.charsToSpace.length
+    val translated =
+      s"translate($replaced, '${esc(TextClean.charsToSpace)}', '$spaces')"
+    s"trim(regexp_replace($translated, " +
+      "'(\\b[a-zA-Z]{2,})(\\.)([A-Z][a-zA-Z])', '\\1\\2 \\3', 'g'))"
+  }
+
+  /** q_keyword_merge — P18 keyword import/clean (news_event.py:360-385,
+    * :206-218): merge keyword sources, split on commas, run the FULL
+    * cleanText on every keyword (reference `len > 1` gate), THEN
+    * first-seen dedupe — the reference's order, pinned here by a raw
+    * pair (' alpha' vs 'alpha') that collapses only after cleaning, and
+    * by curly-quote / currency dirt the clean chain rewrites.
     */
   private def keywordMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextClean
     val kw1 = split(substring(col("text"), 1, 40), " ")
-    val kw2 = split(concat(lit("alpha,beta,"),
+    val kw2 = split(concat(lit("al’pha,be₹ta, alpha,alpha,"),
       substring(col("text"), 1, 10)), ",")
-    // first-seen order over the concatenation: array_distinct preserves
+    val merged = concat(kw1, kw2)
+    val cleaned = transform(merged, k =>
+      when(length(k) > 1, TextClean.cleanText(k)).otherwise(k))
+    // first-seen order AFTER cleaning: array_distinct preserves
     // first-occurrence order (P14 semantics)
     documents(s, dir).select(col("doc_id"),
-        array_distinct(concat(kw1, kw2)).as("keywords"))
+        array_distinct(cleaned).as("keywords"))
       .select(col("doc_id"),
         concat_ws("|", col("keywords")).as("keywords_joined"))
       .orderBy("doc_id")
   }
 
-  private val keywordMergeSql =
-    """SELECT doc_id,
-      |  array_to_string(list_distinct_ordered, '|') AS keywords_joined
-      |FROM (
-      |  SELECT doc_id,
-      |    list_filter(
-      |      list_concat(string_split(substr(text, 1, 40), ' '),
-      |                  string_split(concat('alpha,beta,', substr(text, 1, 10)), ',')),
-      |      (x, i) -> list_position(
-      |        list_concat(string_split(substr(text, 1, 40), ' '),
-      |                    string_split(concat('alpha,beta,', substr(text, 1, 10)), ',')), x) = i
-      |    ) AS list_distinct_ordered
-      |  FROM documents)
-      |ORDER BY doc_id""".stripMargin
+  private val keywordMergeSql = {
+    val mergedE =
+      "list_concat(string_split(substr(text, 1, 40), ' '), " +
+        "string_split(concat('al’pha,be₹ta, alpha,alpha,', substr(text, 1, 10)), ','))"
+    s"""SELECT doc_id,
+       |  array_to_string(list_filter(ck, (x, i) -> list_position(ck, x) = i), '|')
+       |    AS keywords_joined
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform($mergedE,
+       |      k -> CASE WHEN length(k) > 1 THEN ${cleanTextDuck("k")} ELSE k END) AS ck
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_keywords_nlp — the newspaper-NLP keyword stand-in
+    * ([[graft.functions.TopTerms]], VERDICT r04 item 2): top-10
+    * frequency non-stopword terms per document, ranked (count desc,
+    * first-occurrence asc). The oracle recomputes the ranking from the
+    * same stopword-filtered token list (positions via list_position over
+    * that list — exactly the positions the native expression counts).
+    */
+  private def keywordsNlp(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+        concat_ws("|", graft.functions.TopTerms.top_terms(col("text"), 10))
+          .as("keywords_nlp"))
+      .orderBy("doc_id")
+
+  private val keywordsNlpSql = {
+    val stops = graft.functions.TopTermsExpr.enStops
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    w -> length(w) > 0 AND w NOT IN ($stops)) AS toks
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, term, count(*) AS c, min(list_position(toks, term)) AS fp
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM ws)
+       |  GROUP BY doc_id, term),
+       |ranked AS (
+       |  SELECT doc_id, term,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fp ASC) AS r
+       |  FROM cnt)
+       |SELECT d.doc_id, coalesce(k.kj, '') AS keywords_nlp
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, string_agg(term, '|' ORDER BY r) AS kj
+       |  FROM ranked WHERE r <= 10 GROUP BY doc_id) k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q_multimodal_meta — multimodal binary-column plumbing: opaque
     * payload bytes with a typed magic header, byte length, fake decoded
@@ -846,6 +907,7 @@ object MiscQueries {
     QueryDef("q_authors_extract", authorsExtract, Some(authorsExtractSql)),
     QueryDef("q_base64", base64Query, Some(base64Sql)),
     QueryDef("q_keyword_merge", keywordMerge, Some(keywordMergeSql)),
+    QueryDef("q_keywords_nlp", keywordsNlp, Some(keywordsNlpSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some(multimodalMetaSql))
   )
 }

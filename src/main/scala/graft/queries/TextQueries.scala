@@ -80,7 +80,7 @@ object TextQueries {
     * Counts occurrences of common English function words as standalone
     * tokens.
     */
-  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val enStops = graft.functions.TopTermsExpr.enStops
   private def stopHits(text: Column): Column =
     enStops.map(w =>
       size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0)))

@@ -142,6 +142,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
             graft.functions.HtmlExtract.generic_body(col("_html")))
             .otherwise(col("_cascade"))
         else col("_cascade"))
+      // cleaned text bound as a REAL column: the keywords merge below
+      // consumes it when useNlpKeywords is on (newspaper nlp() runs over
+      // the article text), and binding avoids re-evaluating the clean
+      // chain per consumer
+      .withColumn("_text",
+        TextClean.cleanText(SourceProfiles.bySource(col("source"))(p =>
+          SourceProfiles.checkAndClean(p, col("_body")))))
       .select(
         col("url"),
         SourceProfiles.bySource(col("source"))(p =>
@@ -165,11 +172,11 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
           regexp_extract(html, "(?s)<title>(.*?)</title>", 1)).as("title"),
         // per-plugin checkAndCleanText (repeated-char collapse +
         // subStringsToFilter) between the cascade and P7 cleanText —
-        // the reference's base_plugin.py:1321 ordering
-        TextClean.cleanText(SourceProfiles.bySource(col("source"))(p =>
-          SourceProfiles.checkAndClean(p, col("_body")))).as("text"),
+        // the reference's base_plugin.py:1321 ordering (bound above)
+        col("_text").as("text"),
         length(col("_body")).cast("long").as("textSize"),
-        SourceProfiles.keywords(html).as("keywords"),
+        SourceProfiles.keywords(html,
+          if (cfg.useNlpKeywords) Some(col("_text")) else None).as("keywords"),
         SourceProfiles.bySource(col("source"))(p =>
           SourceProfiles.authors(p, html)).as("sourceName"),
         SourceProfiles.bySource(col("source"))(p =>
