@@ -22,17 +22,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the embeddings float arrays); the accessor is chosen lazily after
   * analysis.
   *
-  * NULL semantics now match the HOF form EXACTLY (r03 "what's wrong"
-  * #3 closed): when either side's element type is nullable
-  * (`containsNull`), a null element — or an element-count mismatch,
-  * which zip_with would null-pad — nulls the whole result, exactly as
-  * `aggregate(zip_with(...))` does. The branch is chosen at PLAN time
-  * from the analyzed array types, so the dense-embedding hot path
-  * (containsNull = false, which is what the parquet corpus carries)
-  * keeps the unchecked tight loop; only genuinely sparse inputs pay
-  * the per-element null check. Unequal lengths in the non-nullable
-  * path use the common prefix — callers there only compare
-  * equal-dimension vectors.
+  * NULL semantics match the HOF form EXACTLY in BOTH paths (r03
+  * "what's wrong" #3, then ADVICE r04 on the non-nullable path): an
+  * element-count mismatch — which zip_with would null-pad, nulling
+  * aggregate's running sum — returns NULL regardless of element
+  * nullability, and a null element (possible only when a side's
+  * `containsNull` is true) nulls the result too. The element-null
+  * branch is chosen at PLAN time from the analyzed array types, so the
+  * dense-embedding hot path (containsNull = false, which is what the
+  * parquet corpus carries) keeps the unchecked tight loop after the
+  * one length compare; only genuinely sparse inputs pay the
+  * per-element null check.
   */
 case class SeqDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -51,8 +51,9 @@ case class SeqDotExpr(left: Expression, right: Expression)
       case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
       case _ => true
     }
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elementsNullable
+  // always nullable: even non-nullable-element inputs can produce NULL
+  // on an element-count mismatch (HOF parity)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -72,7 +73,8 @@ case class SeqDotExpr(left: Expression, right: Expression)
       }
       return acc
     }
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     if (leftFloat && rightFloat) {
@@ -119,12 +121,16 @@ case class SeqDotExpr(left: Expression, right: Expression)
          """.stripMargin
       else
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
     })
   override protected def withNewChildrenInternal(

@@ -43,9 +43,21 @@ object DedupeArticles {
     * (keptUrl, cos, pubdate) row is kept — deterministic at any
     * parallelism (the tombstones table is committed to a snapshot, so a
     * nondeterministic pick would break resume equality).
+    *
+    * `dayspan`: pair articles up to this many days apart — the
+    * reference's `identifyFilesForDate(…, dayspan)` capability
+    * (base_plugin.py:450 reads date−span…date+span), which mod_dedupe
+    * invokes with the 0 default; 0 here is therefore the faithful
+    * behavior. A nonzero span uses the same explode trick as the size
+    * bucket: one side emits every date within ±span and the candidate
+    * join STAYS an equi-join on (pubdate, bucket) — never a range
+    * predicate that would force a broadcast-nested-loop. A cross-day
+    * pair matches at exactly one emitted date (the a-side's own), so no
+    * pair is double-counted.
     */
   def tombstones(articles: DataFrame, threshold: Double = 0.99,
-                 minTextSize: Long = 30L): DataFrame = {
+                 minTextSize: Long = 30L, dayspan: Int = 0): DataFrame = {
+    require(dayspan >= 0, "dayspan must be >= 0")
     val base = articles.select(
       col("url"), col("uniqueId"), col("module"), col("pubdate"),
       col("text"), col("textSize"))
@@ -54,12 +66,16 @@ object DedupeArticles {
       col("module").as("mod_a"), col("pubdate"),
       col("textSize").as("size_a"),
       sizeBucket(col("textSize")).as("bucket"))
-    val b = base.select(col("url").as("url_b"), col("uniqueId").as("id_b"),
+    val b0 = base.select(col("url").as("url_b"), col("uniqueId").as("id_b"),
       col("module").as("mod_b"), col("pubdate"),
       col("textSize").as("size_b"))
       .withColumn("bucket",
         explode(array(sizeBucket(col("size_b")) - 1,
           sizeBucket(col("size_b")), sizeBucket(col("size_b")) + 1)))
+    val b =
+      if (dayspan == 0) b0
+      else b0.withColumn("pubdate", explode(array(
+        (-dayspan to dayspan).map(d => date_add(col("pubdate"), d)): _*)))
     // shuffle-hash, never broadcast: both sides scale with the articles
     // table (b is additionally ×3 by the bucket explode) — a broadcast
     // pick from a size mis-estimate OOMs the driver at corpus scale

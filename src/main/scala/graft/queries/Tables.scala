@@ -28,6 +28,15 @@ final case class QueryDef(
   * Same-plan re-invocations do NOT grow the store: Spark's CacheManager
   * dedups by canonicalized plan, so re-running a query over the same
   * sfDir re-uses (and re-tracks) the existing entry.
+  *
+  * SINGLE-SESSION ASSUMPTION (ADVICE r04): the registry is JVM-global
+  * and `release()` drops every tracked entry regardless of which
+  * SparkSession or query batch registered it. That matches the driver
+  * contract — one session, one query batch at a time, release between
+  * batches — but two drivers interleaving query batches in one JVM
+  * would unpersist each other's in-use caches. If multi-session use
+  * ever appears, key the registry by `df.sparkSession` and release
+  * per session.
   */
 object QueryCaches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

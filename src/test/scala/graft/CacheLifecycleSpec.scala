@@ -11,39 +11,44 @@ class CacheLifecycleSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def cachedEntries: Int = {
-    // count RDDs with a storage level set — InMemoryRelation cache
-    // entries materialize here once the query runs
-    spark.sparkContext.getPersistentRDDs.size
-  }
+  // Assertions are on the DELTA of persistent-RDD ids vs a pre-scenario
+  // snapshot (ADVICE r04): absolute counts are brittle against cached
+  // state any other suite left in the shared test session.
+  private def cachedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   test("releaseCaches drops the jaccard builder caches, repeated runs do not accumulate") {
     spark.catalog.clearCache()
     SparkEntry.releaseCaches()
-    assert(cachedEntries === 0)
+    val before = cachedIds
 
     SparkEntry.queries("q_dedup_jaccard")(spark, dir).count()
-    val afterFirst = cachedEntries
-    assert(afterFirst > 0, "jaccard should persist its shingle + pair relations")
+    val afterFirst = cachedIds
+    assert((afterFirst -- before).nonEmpty,
+      "jaccard should persist its shingle + pair relations")
 
     // same plan → CacheManager dedups by canonicalized plan: NO growth
     SparkEntry.queries("q_dedup_jaccard")(spark, dir).count()
     SparkEntry.queries("q_dedup_survivors")(spark, dir).count()
-    assert(cachedEntries === afterFirst,
+    assert(cachedIds === afterFirst,
       "re-invocation over the same sfDir must reuse, not accumulate")
 
     SparkEntry.releaseCaches()
-    assert(cachedEntries === 0, "releaseCaches must drop all builder-tracked entries")
+    assert(cachedIds === before,
+      "releaseCaches must drop all builder-tracked entries")
   }
 
   test("releaseCaches leaves application-owned caches alone") {
     SparkEntry.releaseCaches()
+    val before = cachedIds
     val mine = spark.range(10).toDF("x").persist()
     mine.count()
-    assert(cachedEntries === 1)
+    val withMine = cachedIds
+    assert((withMine -- before).size === 1)
     SparkEntry.queries("q_dedup_jaccard")(spark, dir).count()
     SparkEntry.releaseCaches()
-    assert(cachedEntries === 1, "only builder-tracked entries may be dropped")
+    assert(cachedIds === withMine,
+      "only builder-tracked entries may be dropped")
     mine.unpersist(blocking = true)
   }
 }

@@ -367,6 +367,36 @@ class CrawlWaveSpec extends SparkTestBase {
       s"ndtv title got '${n._4}'")
   }
 
+  test("dedupe dayspan pairs a cross-midnight near-dup only when enabled " +
+      "(base_plugin.py:450)") {
+    import spark.implicits._
+    // same body published by two modules either side of midnight: the
+    // reference's dayspan-0 default (what mod_dedupe passes) must NOT
+    // pair them; dayspan=1 must — and the same-day control pair must be
+    // found exactly once at either setting (no double-count from the
+    // date explode)
+    val bodyX = (1 to 50).map(i => s"night$i").mkString(" ")
+    val bodyY = (1 to 50).map(i => s"day$i").mkString(" ")
+    val arts = Seq(
+      ("https://a.com/1", "id1", "modA", "2021-03-05", bodyX + " x"),
+      ("https://b.com/2", "id2", "modB", "2021-03-06", bodyX + " x longer"),
+      ("https://c.com/3", "id3", "modC", "2021-03-05", bodyY + " y"),
+      ("https://d.com/4", "id4", "modD", "2021-03-05", bodyY + " y longer"))
+      .toDF("url", "uniqueId", "module", "pubdate", "text")
+      .select(col("url"), col("uniqueId"), col("module"),
+        col("pubdate").cast("date").as("pubdate"), col("text"),
+        length(col("text")).cast("long").as("textSize"))
+    val t0 = graft.operators.DedupeArticles
+      .tombstones(arts, threshold = 0.95, dayspan = 0)
+      .select("url").as[String].collect().toSet
+    assert(t0 === Set("https://c.com/3"), s"dayspan=0 got $t0")
+    val t1 = graft.operators.DedupeArticles
+      .tombstones(arts, threshold = 0.95, dayspan = 1)
+      .select("url").as[String].collect().toSet
+    assert(t1 === Set("https://a.com/1", "https://c.com/3"),
+      s"dayspan=1 got $t1")
+  }
+
   test("dedupe post-processor tombstones the smaller near-duplicate") {
     import spark.implicits._
     // two sources publish near-identical bodies on the same date; a third
@@ -399,6 +429,33 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(left == Set("https://www.b.com/y/2", "https://www.c.com/z/3"))
     val tomb = e.tombstonesT.latest.get
     assert(tomb.counters("tombstoned") == 1L)
+  }
+
+  test("html sidecar: payloads are written once per wave and never " +
+      "rewritten by enrichment or dedupe") {
+    val e = newEngine()
+    e.runWave()
+    val sidecarAfterWave = e.htmlT.latest.get
+    // the base table on disk carries NO payload column at all
+    val baseCols = spark.read.parquet(
+      e.articlesT.latest.get.dirs.map(d => s"${e.root}/articles/data/$d"): _*)
+      .columns.toSet
+    assert(!baseCols.contains("html"))
+    // enrichment + dedupe rewrite the base table only: the sidecar's
+    // snapshot is untouched (same snapshot id, same data files), which
+    // is the "enrichment no longer scales with payload bytes" invariant
+    e.postProcessArticles()
+    e.dedupeArticles()
+    assert(e.htmlT.latest.get.snapshotId == sidecarAfterWave.snapshotId)
+    assert(e.htmlT.latest.get.dirs == sidecarAfterWave.dirs)
+    // and the logical record still serves the payload (P12 parity)
+    val pages = SyntheticPages.pages(spark, N)
+    val mismatch = e.articlesNow()
+      .select(col("url"), col("html").cast("string").as("stored"))
+      .join(pages.select(col("url"), col("html").cast("string")
+        .as("expected")), "url")
+      .filter(col("stored") =!= col("expected")).count()
+    assert(mismatch == 0)
   }
 
   test("post-process chain enriches articles in W1 order") {

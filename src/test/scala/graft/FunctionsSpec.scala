@@ -208,6 +208,30 @@ class FunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("fdot on NON-nullable-element arrays also nulls on a length " +
+      "mismatch (HOF parity in both plan-time branches) under codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // Seq[Double] encodes as array<double> containsNull=false → the
+      // unchecked fast path, which must still null-pad like zip_with
+      val df = Seq(
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        (Seq(1.0), Seq(3.0, 4.0)),
+        (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))).toDF("a", "b")
+      assert(!df.schema("a").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+      val out = df.select(
+        graft.functions.VectorOps.fdot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("ref")).collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"row $i nullness")
+      }
+      assert(out(0).getDouble(0) == 11.0)
+      assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("WordNgramsExpr equals the builtin split/transform composition " +
       "on the real corpus (incl. empty-token split semantics) and " +
       "compiles under codegen") {
