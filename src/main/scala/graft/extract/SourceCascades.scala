@@ -2,7 +2,6 @@ package graft.extract
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -152,16 +151,45 @@ object SourceCascades {
   def title_by_source(html: Column, source: Column): Column =
     ColumnBridge.column(SourceTitleDispatchExpr(
       ColumnBridge.expression(html), ColumnBridge.expression(source)))
+
+  /** Static entry points shared by interpreted eval and generated code
+    * (VERDICT r04 item 8: the dispatch expressions were CodegenFallback,
+    * which split the assembly projection's whole-stage span; a static
+    * call keeps the span in one compiled unit — the string/regex work
+    * still dominates, but the fallback plumbing disappears).
+    */
+  def dispatchBody(html: UTF8String, source: UTF8String): UTF8String =
+    UTF8String.fromString(registry(source.toString)(html.toString))
+  def dispatchBodyNamed(html: UTF8String, source: String): UTF8String =
+    UTF8String.fromString(registry(source)(html.toString))
+  def dispatchTitle(html: UTF8String, source: UTF8String): UTF8String =
+    titleRegistry.get(source.toString) match {
+      case Some(f) =>
+        val t = f(html.toString)
+        if (t.isEmpty) null else UTF8String.fromString(t)
+      case None => null
+    }
 }
 
-/** Catalyst expression dispatching to a per-source extraction cascade. */
+/** Catalyst expression dispatching to a per-source extraction cascade.
+  * Codegen is a static call (the source name travels as a referenced
+  * constant), so the expression stays inside the surrounding
+  * whole-stage span.
+  */
 case class SourceBodyExpr(child: Expression, source: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      SourceCascades.registry(source)(input.asInstanceOf[UTF8String].toString))
+    SourceCascades.dispatchBodyNamed(input.asInstanceOf[UTF8String], source)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val srcRef = ctx.addReferenceObj("source", source, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.extract.SourceCascades$$.MODULE$$.dispatchBodyNamed($c, $srcRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"body_text_$source"
@@ -172,18 +200,22 @@ case class SourceBodyExpr(child: Expression, source: String)
   * override or when the override extracts nothing.
   */
 case class SourceTitleDispatchExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override protected def nullSafeEval(html: Any, source: Any): Any =
-    SourceCascades.titleRegistry
-      .get(source.asInstanceOf[UTF8String].toString) match {
-      case Some(f) =>
-        val t = f(html.asInstanceOf[UTF8String].toString)
-        if (t.isEmpty) null else UTF8String.fromString(t)
-      case None => null
-    }
+    SourceCascades.dispatchTitle(html.asInstanceOf[UTF8String],
+      source.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, s) =>
+      s"""
+         |${ev.value} =
+         |  graft.extract.SourceCascades$$.MODULE$$.dispatchTitle($h, $s);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "title_by_source"
@@ -191,14 +223,18 @@ case class SourceTitleDispatchExpr(left: Expression, right: Expression)
 
 /** Per-row dispatch variant: cascade chosen from the source column. */
 case class SourceBodyDispatchExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = left.nullable || right.nullable
   override protected def nullSafeEval(html: Any, source: Any): Any =
-    UTF8String.fromString(
-      SourceCascades.registry(source.asInstanceOf[UTF8String].toString)(
-        html.asInstanceOf[UTF8String].toString))
+    SourceCascades.dispatchBody(html.asInstanceOf[UTF8String],
+      source.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (h, s) =>
+      s"graft.extract.SourceCascades$$.MODULE$$.dispatchBody($h, $s)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "body_text_by_source"

@@ -180,6 +180,29 @@ class FunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("dispatch expressions (body/title/block-text) compile under " +
+      "codegen and match their interpreted results") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val html = "<html><head><title>Generic T</title></head><body>" +
+        "<h1 itemprop=\"headline\">NDTV Head</h1>" +
+        "<div class=\"artText\">body words here</div></body></html>"
+      val df = Seq(("ndtv", html), ("generic", html)).toDF("source", "html")
+      val out = df.select(col("source"),
+          graft.extract.SourceCascades
+            .body_text_by_source(col("html"), col("source")).as("body"),
+          graft.extract.SourceCascades
+            .title_by_source(col("html"), col("source")).as("title"),
+          graft.functions.HtmlExtract
+            .block_text(col("html"), "div", "artText").as("block"))
+        .collect().map(r => (r.getString(0),
+          (r.getString(1), if (r.isNullAt(2)) null else r.getString(2),
+            r.getString(3)))).toMap
+      assert(out("generic") === (("body words here", null, "body words here")))
+      assert(out("ndtv")._2 === "NDTV Head")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("fdot on NULLABLE-element arrays matches the HOF form exactly " +
       "(null element or length mismatch nulls the sum) under codegen") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
