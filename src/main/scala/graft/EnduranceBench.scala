@@ -66,7 +66,18 @@ object EnduranceBench {
       (st.waveId, st.scheduled, st.newLinks, secs, frontierDirs, seenTotal)
     }
     val tomb = e.dedupeArticles()
+    // bytes the enrichment pass reads+rewrites (base table) vs payload
+    // bytes it never touches (html sidecar) — the r04 shape re-joined
+    // and rewrote the sidecar bytes too, every pass
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0L
+      else java.nio.file.Files.walk(d.toPath).filter(_.toFile.isFile)
+        .mapToLong(_.toFile.length).sum
+    }
     val enriched = e.postProcessArticles()
+    val baseMB = dirBytes(s"${e.root}/articles/data") / 1e6
+    val sidecarMB = dirBytes(s"${e.root}/articles_html/data") / 1e6
 
     val table = rows.map { case (w, s, l, secs, fd, seen) =>
       f"| $w | $s | $l | $secs%.2f | ${s / secs}%.0f | $fd | $seen |"
@@ -96,7 +107,11 @@ object EnduranceBench {
          |url-ordered pair — the /articles/ base copy, its /alt/ twin
          |kept) — exercising the J4 join + survivors rewrite at this
          |state size, not a no-op; postProcessArticles enriched
-         |$enriched articles in one pass.
+         |$enriched articles in one pass. The enrichment rewrite touched
+         |only the base article table (${f"$baseMB%.0f"} MB on disk);
+         |the ${f"$sidecarMB%.0f"} MB of raw-html payloads sit in the
+         |per-wave sidecar table the pass never reads or rewrites, so
+         |enrichment cost no longer scales with payload bytes.
          |
          |Reading: wall time per wave tracks THAT WAVE's scheduled+discovered
          |volume, not the cumulative seen/frontier size — the incremental
