@@ -34,6 +34,34 @@ class DedupScaleSpec extends SparkTestBase {
     assert(edges.map(_.getLong(1)).sorted.toSeq === (1L until 50L))
   }
 
+  test("connected components propagate min labels transitively " +
+      "(chains need multiple rounds, not one hop)") {
+    import spark.implicits._
+    // 1-2-3 is a CHAIN (no 1-3 edge): doc 3 can only reach label 1
+    // through a second propagation round, so this fails if the loop
+    // stopped after one hop
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val verts = (1L to 7L).toDF("doc_id")
+    val got = DedupQueries.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("a 1000-doc identical cluster collapses to one component") {
+    val c = identicalCluster(1000)
+    import org.apache.spark.sql.functions.col
+    val labels = DedupQueries.connectedComponents(
+      DedupQueries.minhashEdges(c), c.select("doc_id"))
+    val distinctClusters =
+      labels.select("cluster").distinct().collect().map(_.getLong(0)).toSeq
+    val n = labels.count()
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(n === 1000L)
+    assert(distinctClusters === Seq(0L), "all docs must label to min doc_id")
+  }
+
   test("minhash edges preserve near-dup connectivity on mixed corpora") {
     import spark.implicits._
     // two distinct clusters + a singleton: edges must connect each
