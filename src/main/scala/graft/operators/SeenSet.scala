@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -115,10 +114,14 @@ object SeenSet {
 
 /** Deterministic bloom-membership probe over a broadcast sharded bloom.
   * Blooms deserialize once per executor (lazy transient), not per row.
+  * Codegen calls `probe` through a referenced copy of this expression,
+  * so the scheduling filter stays inside the surrounding whole-stage
+  * span instead of falling back to the interpreted walker per row —
+  * this sits on the per-URL hot path of every wave's schedule step.
   */
 case class BloomMightContainExpr(child: Expression,
                                  bcast: Broadcast[Array[Array[Byte]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
@@ -127,10 +130,22 @@ case class BloomMightContainExpr(child: Expression,
     bcast.value.map(b =>
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val url = input.asInstanceOf[UTF8String].toString
+  def probe(input: UTF8String): Boolean = {
+    val url = input.toString
     val shard = SeenSet.shardOf(url, blooms.length)
-    java.lang.Boolean.valueOf(blooms(shard).mightContainString(url))
+    blooms(shard).mightContainString(url)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(probe(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -165,6 +165,59 @@ object CrawlQueries {
       |  concat('plugin', CAST((doc_id % 20) % 5 AS VARCHAR)) AS route
       |FROM urls ORDER BY doc_id""".stripMargin)
 
+  /** q_rss_route — aggregator URL allocation (worker.py:157-187
+    * `aggregator_url2domain_map`): every RSS/listing-harvested URL is
+    * routed to the content plugin whose `allowedDomains` claims its
+    * host (queue_manager.py:346-352 builds that map), and URLs no
+    * plugin claims are DROPPED (worker.py:180 only appends on a map
+    * hit). Runs the REAL transcribed domain→source map
+    * ([[graft.extract.SourceRegistry.routeByDomain]], 24 reference
+    * domains) over harvested URLs synthesized on actual reference
+    * domains plus one unclaimed host; the oracle carries the same map
+    * as a VALUES relation and routes by an inner join — the same
+    * semantics through an independent mechanism.
+    */
+  private def rssRoute(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.SourceRegistry
+    val doms = rssRouteDomains
+    val idx = (col("doc_id") % doms.length).cast("int")
+    val domain = doms.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (d, i)) => when(idx === i, d).otherwise(acc)
+    }
+    val url = concat(lit("https://"), domain, lit("/story-"),
+      col("doc_id").cast("string"))
+    documents(s, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("source", SourceRegistry.routeByDomain(U.host(col("url"))))
+      .filter(col("source").isNotNull)
+      .select("doc_id", "url", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Six claimed reference domains (deterministic pick) + one host no
+    * plugin claims, cycled by doc_id.
+    */
+  private lazy val rssRouteDomains: Seq[String] =
+    graft.extract.SourceRegistry.domainToSource.keys.toSeq.sorted.take(6) :+
+      "www.unclaimed-news-site.com"
+
+  private lazy val rssRouteSql = {
+    val mapRows = graft.extract.SourceRegistry.domainToSource.toSeq.sorted
+      .map { case (d, n) => s"('$d', '$n')" }.mkString(", ")
+    val domCase = rssRouteDomains.zipWithIndex
+      .map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")
+    s"""WITH m AS (SELECT * FROM (VALUES $mapRows) AS t(domain, source)),
+       |harvested AS (
+       |  SELECT doc_id,
+       |    concat('https://',
+       |      CASE CAST(doc_id % ${rssRouteDomains.length} AS INT) $domCase END,
+       |      '/story-', CAST(doc_id AS VARCHAR)) AS url
+       |  FROM documents)
+       |SELECT doc_id, url, m.source
+       |FROM harvested
+       |JOIN m ON regexp_extract(url, 'https://([^/]+)/', 1) = m.domain
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q_host_budget — politeness budget per host (network.py:176-199
     * rebuilt as per-wave budgets): budget(host)=2+(hostnum%3); keep the
     * first `budget` urls per host by (priority, seq).
@@ -322,6 +375,7 @@ object CrawlQueries {
     QueryDef("q_frontier_topk", frontierTopk, Some(frontierTopkSql)),
     QueryDef("q_first_seen_dedupe", firstSeenDedupe, Some(firstSeenDedupeSql)),
     QueryDef("q_domain_route", domainRoute, Some(domainRouteSql)),
+    QueryDef("q_rss_route", rssRoute, Some(rssRouteSql)),
     QueryDef("q_noncontent_urls", nonContentUrls, Some(nonContentUrlsSql)),
     QueryDef("q_host_budget", hostBudget, Some(hostBudgetSql)),
     QueryDef("q_robots_gate", robotsGate, Some(robotsGateSql)),

@@ -12,6 +12,15 @@ class SeenSetSpec extends SparkTestBase {
   import spark.implicits._
 
   test("bloom-pruned anti-join equals exact anti-join") {
+    // strict codegen: the probe expression generates code (referenced-
+    // object call); a janino failure must fail the test, not silently
+    // fall back to the interpreted walker
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try bloomEqualsExact()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  private def bloomEqualsExact(): Unit = {
     val candidates = spark.range(5000)
       .select(concat(lit("https://h"), (col("id") % 40).cast("string"),
         lit(".com/p"), col("id").cast("string")).as("url"),
