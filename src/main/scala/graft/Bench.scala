@@ -1,40 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Best-of-N per query (VERDICT r02 item 8: single-run numbers on this
-    // host swing ±40%, which makes regression gating unfalsifiable).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+/** ONE definition of the measurement protocol, shared by [[Bench]] (the
+  * driver's suite run) and [[QueryBench]] (the named-query drill-down)
+  * so their numbers stay comparable by construction — a hardening
+  * applied to one can never silently miss the other.
+  */
+object BenchProtocol {
+  def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+  /** Bench session + warm-up (JIT, codegen, parquet footer caches) so
+    * per-query numbers reflect steady state, not first-query startup.
+    */
+  def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT, codegen, parquet footer caches — so per-query numbers
-    // reflect steady state rather than first-query startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // A query's number must be SELF-CONTAINED (VERDICT r03 item 2): the
-    // jaccard and survivors plans share one canonicalized-plan cache
-    // entry, so under a per-rep-only clear whichever ran first paid the
-    // ~14s shingle build and the other read ~0.2s — a split that was
-    // measurement order, not cost. Clearing builder caches + the SQL
-    // cache BEFORE EVERY timed query makes each number stable under
-    // query reordering; the shared-cache saving a real driver pass gets
-    // is reported separately as the jaccard→survivors pipeline metric.
-    // blocking release: async block eviction from the previous query
-    // must not overlap the next timed window. catalog.clearCache()
-    // unpersists NON-blocking, so after it we block on every persistent
-    // RDD still registered with the context (SQL-cached plans included —
-    // their storage is ordinary persisted RDDs) until eviction completes.
-    def fresh(): Unit = {
-      SparkEntry.releaseCaches(blocking = true)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
+    spark
+  }
+
+  /** A query's number must be SELF-CONTAINED (VERDICT r03 item 2): the
+    * jaccard and survivors plans share one canonicalized-plan cache
+    * entry, so under a per-rep-only clear whichever ran first paid the
+    * ~14s shingle build and the other read ~0.2s — a split that was
+    * measurement order, not cost. Clearing builder caches + the SQL
+    * cache BEFORE EVERY timed query makes each number stable under
+    * query reordering. Blocking everywhere: async eviction from the
+    * previous query must not overlap the next timed window, and
+    * catalog.clearCache() unpersists NON-blocking, so after it we block
+    * on every persistent RDD still registered with the context
+    * (SQL-cached plans included — their storage is ordinary persisted
+    * RDDs) until eviction completes.
+    */
+  def fresh(spark: SparkSession): Unit = {
+    SparkEntry.releaseCaches(blocking = true)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+}
+
+object Bench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = BenchProtocol.sfDir
+    val cpus = BenchProtocol.cpus
+    // Best-of-N per query (VERDICT r02 item 8: single-run numbers on this
+    // host swing ±40%, which makes regression gating unfalsifiable).
+    val reps = BenchProtocol.reps
+    val spark = BenchProtocol.session()
+    def fresh(): Unit = BenchProtocol.fresh(spark)
     // min is taken over SUCCESSFUL reps only: a rep that throws fast
     // must not mask a slow-but-working query as a fast success. A query
     // that fails in every rep reports -1 (an impossible duration) so

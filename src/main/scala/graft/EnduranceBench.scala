@@ -68,16 +68,19 @@ object EnduranceBench {
     val tomb = e.dedupeArticles()
     // bytes the enrichment pass reads+rewrites (base table) vs payload
     // bytes it never touches (html sidecar) — the r04 shape re-joined
-    // and rewrote the sidecar bytes too, every pass
-    def dirBytes(p: String): Long = {
-      val d = new java.io.File(p)
-      if (!d.exists) 0L
-      else java.nio.file.Files.walk(d.toPath).filter(_.toFile.isFile)
-        .mapToLong(_.toFile.length).sum
-    }
+    // and rewrote the sidecar bytes too, every pass. Only the dirs LIVE
+    // in each table's LATEST snapshot are counted: commitReplace leaves
+    // superseded dirs on disk for older snapshots, and summing those
+    // would overstate the base side by one copy per historical rewrite.
+    def liveBytes(t: graft.plans.SnapshotTable, root: String): Long =
+      t.latest.toSeq.flatMap(_.dirs).map { d =>
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/$d"))
+        try s.filter(p => p.toFile.isFile).mapToLong(_.toFile.length).sum
+        finally s.close()
+      }.sum
     val enriched = e.postProcessArticles()
-    val baseMB = dirBytes(s"${e.root}/articles/data") / 1e6
-    val sidecarMB = dirBytes(s"${e.root}/articles_html/data") / 1e6
+    val baseMB = liveBytes(e.articlesT, s"${e.root}/articles/data") / 1e6
+    val sidecarMB = liveBytes(e.htmlT, s"${e.root}/articles_html/data") / 1e6
 
     val table = rows.map { case (w, s, l, secs, fd, seen) =>
       f"| $w | $s | $l | $secs%.2f | ${s / secs}%.0f | $fd | $seen |"

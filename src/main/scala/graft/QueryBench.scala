@@ -1,33 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Named-query timer (scratch tooling, not engine surface): best-of-N
   * wall time for each query name given as an arg, under the SAME
-  * isolation protocol as [[Bench]] (caches released + evicted blocking
-  * before every timed run). Usage:
+  * isolation protocol as [[Bench]] — both delegate to [[BenchProtocol]],
+  * so the protocol cannot drift between them. Usage:
   *   sbt "runMain graft.QueryBench q_article_assembly_full q_body_extract"
   */
 object QueryBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    def fresh(): Unit = {
-      SparkEntry.releaseCaches(blocking = true)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
+    val sfDir = BenchProtocol.sfDir
+    val reps = BenchProtocol.reps
+    val spark = BenchProtocol.session()
     args.foreach { n =>
       val times = (1 to reps).map { _ =>
-        fresh()
+        BenchProtocol.fresh(spark)
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

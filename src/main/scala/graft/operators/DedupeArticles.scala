@@ -64,10 +64,16 @@ object DedupeArticles {
       .filter(col("pubdate").isNotNull && col("textSize") > minTextSize)
     val a = base.select(col("url").as("url_a"), col("uniqueId").as("id_a"),
       col("module").as("mod_a"), col("pubdate"),
+      col("pubdate").as("pub_a"),
       col("textSize").as("size_a"),
       sizeBucket(col("textSize")).as("bucket"))
+    // pub_b preserves the b-side article's OWN date: the dayspan explode
+    // below overwrites the join-key pubdate with every date in ±span,
+    // and the tombstone row must record the VICTIM's publication date,
+    // not whichever emitted date the pair happened to match on
     val b0 = base.select(col("url").as("url_b"), col("uniqueId").as("id_b"),
       col("module").as("mod_b"), col("pubdate"),
+      col("pubdate").as("pub_b"),
       col("textSize").as("size_b"))
       .withColumn("bucket",
         explode(array(sizeBucket(col("size_b")) - 1,
@@ -106,7 +112,12 @@ object DedupeArticles {
       .withColumn("cos", col("dot") /
         (sqrt(col("sqa").cast("double")) * sqrt(col("sqb").cast("double"))))
       .filter(col("cos") >= threshold)
-      .select(col("pubdate"),
+      .select(
+        // the VICTIM's own publication date (pub_a/pub_b carried past
+        // the dayspan explode; identical to the join date at dayspan=0)
+        when(col("size_a") < col("size_b") ||
+          (col("size_a") === col("size_b") && col("id_a") > col("id_b")),
+          col("pub_a")).otherwise(col("pub_b")).as("pubdate"),
         when(col("size_a") < col("size_b") ||
           (col("size_a") === col("size_b") && col("id_a") > col("id_b")),
           col("url_a")).otherwise(col("url_b")).as("url"),

@@ -387,12 +387,19 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       blooms.fold(deltaBloom)(SeenSet.mergeSharded(_, deltaBloom)))
     // Html sidecar first, then the base record: the payload is written
     // exactly once per wave here and never again (enrichment/dedupe
-    // rewrites touch only the base table). Column pruning keeps this
-    // commit from evaluating the extraction expressions — it projects
-    // only (url, html) out of the cached fetch join.
+    // rewrites touch only the base table). The sidecar commits straight
+    // from the CACHED fetch join — every completed fetch's raw payload,
+    // like a crawl's WARC archive — NOT from `articles`: the F7/F8
+    // length gates inside `articles` depend on the extraction cascade,
+    // so projecting (url, html) out of it would still re-run the
+    // wave's heaviest CPU (the per-source regex cascades) a second
+    // time just to decide which payloads to keep. Payload rows for
+    // pages the gates later drop are tolerated orphans, exactly like
+    // tombstoned articles' payloads (articlesNow joins from the
+    // articles side).
     if (htmlT.latest.forall(_.waveId < waveId))
       phase("commit-html")(
-        htmlT.commitAppend(articles.select(col("url"), col("html"))
+        htmlT.commitAppend(fetched.select(col("url"), col("html"))
           .repartition(slots(stats.fetched)), waveId, counters))
     if (articlesT.latest.forall(_.waveId < waveId))
       phase("commit-articles")(

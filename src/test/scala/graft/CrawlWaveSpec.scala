@@ -377,9 +377,12 @@ class CrawlWaveSpec extends SparkTestBase {
     // date explode)
     val bodyX = (1 to 50).map(i => s"night$i").mkString(" ")
     val bodyY = (1 to 50).map(i => s"day$i").mkString(" ")
+    // the cross-midnight VICTIM is the LATER-day article (b, 03-06): the
+    // candidate join matches the pair at the a-side's date (03-05), so
+    // recording the victim's own date is observably different here
     val arts = Seq(
-      ("https://a.com/1", "id1", "modA", "2021-03-05", bodyX + " x"),
-      ("https://b.com/2", "id2", "modB", "2021-03-06", bodyX + " x longer"),
+      ("https://a.com/1", "id1", "modA", "2021-03-05", bodyX + " x longer"),
+      ("https://b.com/2", "id2", "modB", "2021-03-06", bodyX + " x"),
       ("https://c.com/3", "id3", "modC", "2021-03-05", bodyY + " y"),
       ("https://d.com/4", "id4", "modD", "2021-03-05", bodyY + " y longer"))
       .toDF("url", "uniqueId", "module", "pubdate", "text")
@@ -392,9 +395,14 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(t0 === Set("https://c.com/3"), s"dayspan=0 got $t0")
     val t1 = graft.operators.DedupeArticles
       .tombstones(arts, threshold = 0.95, dayspan = 1)
-      .select("url").as[String].collect().toSet
-    assert(t1 === Set("https://a.com/1", "https://c.com/3"),
+      .select(col("url"), col("pubdate").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(t1.keySet === Set("https://b.com/2", "https://c.com/3"),
       s"dayspan=1 got $t1")
+    // the tombstone records the VICTIM's own publication date (03-06),
+    // not the a-side join-key date the cross-day pair matched on (03-05)
+    assert(t1("https://b.com/2") === "2021-03-06")
+    assert(t1("https://c.com/3") === "2021-03-05")
   }
 
   test("dedupe post-processor tombstones the smaller near-duplicate") {
