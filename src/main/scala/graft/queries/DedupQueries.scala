@@ -176,7 +176,14 @@ object DedupQueries {
           Seq("cluster"), "left")
         .select(col("doc_id"),
           coalesce(col("_cc2"), col("cluster")).as("cluster"))
-      val next = jumped.localCheckpoint(true)
+      // reliable checkpoint when the session has a checkpoint dir (a
+      // cluster deployment should set one: localCheckpoint storage dies
+      // with an executor, failing the job mid-loop); local runs use the
+      // executor-local variant and skip the HDFS round trip
+      val next =
+        if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          jumped.checkpoint(true)
+        else jumped.localCheckpoint(true)
       changed = next.join(
           labels.select(col("doc_id"), col("cluster").as("_old")), "doc_id")
         .filter(col("cluster") < col("_old")).count()
@@ -194,7 +201,16 @@ object DedupQueries {
     */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    connectedComponents(minhashEdges(c), c.select("doc_id"))
+    // edges persisted + tracked HERE (not inside minhashEdges, which
+    // keeps q_dedup_minhash's isolated plan materialization-free): the
+    // clustering symmetrization reads this subtree twice (both union
+    // branches — uncached, the whole shingle+md5+election build would
+    // run twice), and a driver pass that also emits the edge list
+    // (q_dedup_minhash) reuses the cache via canonicalized-plan dedup.
+    // Released via SparkEntry.releaseCaches like every builder cache.
+    val edges = QueryCaches.track(minhashEdges(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    connectedComponents(edges, c.select("doc_id"))
       .orderBy("doc_id")
   }
 
