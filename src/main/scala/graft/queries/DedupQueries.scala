@@ -526,10 +526,62 @@ object DedupQueries {
       |WHERE cos >= 0.99
       |ORDER BY removed, kept""".stripMargin)
 
+  /** q_split_leakfree — leakage-free train/eval split: the split is a
+    * deterministic hash of the CLUSTER label, not of the document, so
+    * two near-duplicates can never land in different splits (assigning
+    * by doc hash leaks eval content into train whenever a near-dup of
+    * an eval doc survives in train — the classic contamination bug in
+    * web-scale training sets). First hex char of md5(cluster) ≤ 'c'
+    * → train (13/16 = 81.25%); byte-identical in both engines because
+    * the compare is on one ASCII hex character of the same digest.
+    * Scale shape: one scan-local projection over the cluster labels —
+    * the split adds ZERO shuffles beyond the clustering itself.
+    */
+  private def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val edges = QueryCaches.track(minhashEdges(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    connectedComponents(edges, c.select("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        when(substring(md5(col("cluster").cast("string")), 1, 1) <= "c",
+          "train").otherwise("eval").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitLeakfreeSql =
+    s"""WITH RECURSIVE corpus AS ($corpusSql),
+       |sh_all AS ($shinglesSql),
+       |bands AS (
+       |  SELECT doc_id, band, min(substr(md5(shingle), band * 8 + 1, 8)) AS sig
+       |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
+       |  GROUP BY doc_id, band),
+       |reps AS (SELECT band, sig, min(doc_id) AS doc_a FROM bands GROUP BY band, sig),
+       |edges AS (
+       |  SELECT DISTINCT doc_a, b.doc_id AS doc_b
+       |  FROM reps JOIN bands b USING (band, sig)
+       |  WHERE b.doc_id > doc_a),
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
+       |        UNION SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |labels AS (
+       |  SELECT c.doc_id,
+       |    least(c.doc_id, coalesce(min(r.v), c.doc_id)) AS cluster
+       |  FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+       |  GROUP BY c.doc_id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'c'
+       |       THEN 'train' ELSE 'eval' END AS split
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("q_dedup_clusters", clusters, Some(clustersSql)),
+    QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_jaccard", jaccard, Some(jaccardSql)),
     QueryDef("q_dedup_survivors", survivors, Some(survivorsSql))

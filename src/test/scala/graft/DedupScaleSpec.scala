@@ -62,6 +62,40 @@ class DedupScaleSpec extends SparkTestBase {
     assert(distinctClusters === Seq(0L), "all docs must label to min doc_id")
   }
 
+  test("cluster-keyed split assignment can never leak near-dups across " +
+      "splits (both edge endpoints share a cluster, hence a split)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mixed corpus with several multi-doc clusters
+    // disjoint vocabulary per group: docs inside a group are identical,
+    // docs across groups share NO shingles — 17 distinct clusters
+    val docs = spark.sparkContext.parallelize(0 until 200, 4)
+      .map { i =>
+        val g = i % 17
+        (i.toLong,
+          (1 to 8).map(w => s"g${g}w$w").mkString(" "),
+          "src")
+      }
+      .toDF("doc_id", "text", "source")
+    val edges = DedupQueries.minhashEdges(docs)
+    val labels = DedupQueries.connectedComponents(edges, docs.select("doc_id"))
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 1) <= "c",
+          "train").otherwise("eval"))
+    val crossing = edges
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    val splits = labels.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(crossing === 0L, "no near-dup edge may cross the split boundary")
+    // both splits populated on a 17-cluster corpus (hash balance sanity)
+    assert(splits.getOrElse("train", 0L) > 0L && splits.getOrElse("eval", 0L) > 0L)
+  }
+
   test("minhash edges preserve near-dup connectivity on mixed corpora") {
     import spark.implicits._
     // two distinct clusters + a singleton: edges must connect each
