@@ -182,7 +182,65 @@ object TextQueries {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q_sample_stratified — deterministic hash sampling with per-stratum
+    * rates (training-data pipelines sample sources at different rates —
+    * e.g. upsample books, downsample boilerplate-heavy crawl). The keep
+    * decision compares the first TWO hex chars of md5(doc_id) against a
+    * per-source threshold (md5 is uniform, hex chars are ASCII-ordered,
+    * so a string compare IS a rate gate in 256ths: '40'=25%, '80'=50%,
+    * 'c0'=75%) — byte-identical in both engines, scan-local, zero
+    * shuffles, and REPRODUCIBLE: re-running the pipeline selects the
+    * same sample, the property that makes hash sampling (not rand())
+    * the standard at corpus scale.
+    */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val thresh = when(length(col("source")) % 3 === 0, "40")
+      .when(length(col("source")) % 3 === 1, "80")
+      .otherwise("c0")
+    documents(s, dir)
+      .withColumn("_t", thresh)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < col("_t"))
+      .select(col("doc_id"), col("source"), col("_t").as("rate_x256_hex"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, source, t AS rate_x256_hex
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CASE length(source) % 3 WHEN 0 THEN '40' WHEN 1 THEN '80'
+      |         ELSE 'c0' END AS t
+      |  FROM documents)
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < t
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_vocab — corpus vocabulary head: global top-100 tokens by
+    * (count desc, term asc) — the seeding statistic a BPE/unigram
+    * tokenizer trainer starts from. Map-side-combinable count
+    * aggregation, then a top-k that Spark executes as
+    * TakeOrderedAndProject (per-partition heads, never a global sort of
+    * the full vocabulary) — the right shape when the corpus has 10⁸
+    * distinct tokens and only the head matters.
+    */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(100)
+
+  private val vocabSql =
+    """SELECT term, count(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |WHERE length(term) > 0
+      |GROUP BY term
+      |ORDER BY n DESC, term
+      |LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("q_vocab", vocab, Some(vocabSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
