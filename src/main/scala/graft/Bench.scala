@@ -100,11 +100,16 @@ object Bench {
     }
     val pipeline = pipelineOf("q_dedup_jaccard", "q_dedup_survivors")
     val pipelineCc = pipelineOf("q_dedup_clusters", "q_dedup_minhash")
+    // clusters→split share the persisted candidate-edge relation; the
+    // split's isolated number pays the full edge build + clustering,
+    // but a real driver pass (cluster, then assign splits) pays the
+    // edge build once — this metric is that pass.
+    val pipelineSplit = pipelineOf("q_dedup_clusters", "q_split_leakfree")
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.filter(_ >= 0).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"pipelines":{"dedup_jaccard_then_survivors":$pipeline,"dedup_clusters_then_minhash":$pipelineCc},"sf":"$sfDir","protocol":{"cpus":$cpus,"best_of":$reps,"isolation":"builder caches released (blocking) + SQL cache cleared + all persistent RDDs unpersisted (blocking) before every timed query","n_queries":${best.size}}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"pipelines":{"dedup_jaccard_then_survivors":$pipeline,"dedup_clusters_then_minhash":$pipelineCc,"dedup_clusters_then_split":$pipelineSplit},"sf":"$sfDir","protocol":{"cpus":$cpus,"best_of":$reps,"isolation":"builder caches released (blocking) + SQL cache cleared + all persistent RDDs unpersisted (blocking) before every timed query","n_queries":${best.size}}}"""
     println(json)
     // Self-contained machine-readable artifact (VERDICT r04 item 6): the
     // driver's log tail truncates, so the complete object is also written

@@ -214,7 +214,14 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  private val clustersSql =
+  /** Shared DuckDB CTE chain for every clustering oracle: corpus →
+    * shingles → band signatures → representative election → candidate
+    * edges → symmetric closure → recursive transitive reach → per-doc
+    * min-label `labels(doc_id, cluster)`. One definition keeps the
+    * three clustering oracles (labels, leak-free split, size
+    * histogram) on identical semantics by construction.
+    */
+  private val ccLabelsCtes =
     s"""WITH RECURSIVE corpus AS ($corpusSql),
        |sh_all AS ($shinglesSql),
        |bands AS (
@@ -231,11 +238,16 @@ object DedupQueries {
        |reach AS (
        |  SELECT u, v FROM sym
        |  UNION
-       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-       |SELECT c.doc_id,
-       |  least(c.doc_id, coalesce(min(r.v), c.doc_id)) AS cluster
-       |FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
-       |GROUP BY c.doc_id
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |labels AS (
+       |  SELECT c.doc_id,
+       |    least(c.doc_id, coalesce(min(r.v), c.doc_id)) AS cluster
+       |  FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
+       |  GROUP BY c.doc_id)""".stripMargin
+
+  private val clustersSql =
+    s"""$ccLabelsCtes
+       |SELECT doc_id, cluster FROM labels
        |ORDER BY doc_id""".stripMargin
 
   private val minhashSql = withCtes(
@@ -549,39 +561,46 @@ object DedupQueries {
   }
 
   private val splitLeakfreeSql =
-    s"""WITH RECURSIVE corpus AS ($corpusSql),
-       |sh_all AS ($shinglesSql),
-       |bands AS (
-       |  SELECT doc_id, band, min(substr(md5(shingle), band * 8 + 1, 8)) AS sig
-       |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
-       |  GROUP BY doc_id, band),
-       |reps AS (SELECT band, sig, min(doc_id) AS doc_a FROM bands GROUP BY band, sig),
-       |edges AS (
-       |  SELECT DISTINCT doc_a, b.doc_id AS doc_b
-       |  FROM reps JOIN bands b USING (band, sig)
-       |  WHERE b.doc_id > doc_a),
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM edges
-       |        UNION SELECT doc_b, doc_a FROM edges),
-       |reach AS (
-       |  SELECT u, v FROM sym
-       |  UNION
-       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-       |labels AS (
-       |  SELECT c.doc_id,
-       |    least(c.doc_id, coalesce(min(r.v), c.doc_id)) AS cluster
-       |  FROM corpus c LEFT JOIN reach r ON r.u = c.doc_id
-       |  GROUP BY c.doc_id)
+    s"""$ccLabelsCtes
        |SELECT doc_id, cluster,
        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) <= 'c'
        |       THEN 'train' ELSE 'eval' END AS split
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  /** q_cluster_sizes — duplicate-cluster-size histogram: for each
+    * component size, how many clusters have it. This is the production
+    * monitor for the skew failure mode every pair-emitting dedup path
+    * must avoid: at web scale, boilerplate/mirror clusters of 10⁵+
+    * near-identical pages are routine, and THIS query — two
+    * map-side-combinable aggregations over the label table, no joins,
+    * no pair enumeration — is how a pipeline sees them coming before
+    * any per-pair stage runs. Shares the persisted edge relation with
+    * the other clustering queries in a driver pass.
+    */
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val edges = QueryCaches.track(minhashEdges(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    connectedComponents(edges, c.select("doc_id"))
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+  }
+
+  private val clusterSizesSql =
+    s"""$ccLabelsCtes
+       |SELECT sz, count(*) AS n_clusters
+       |FROM (SELECT cluster, count(*) AS sz FROM labels GROUP BY cluster)
+       |GROUP BY sz
+       |ORDER BY sz""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("q_dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
+    QueryDef("q_cluster_sizes", clusterSizes, Some(clusterSizesSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_jaccard", jaccard, Some(jaccardSql)),
     QueryDef("q_dedup_survivors", survivors, Some(survivorsSql))

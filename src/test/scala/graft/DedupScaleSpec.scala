@@ -96,6 +96,29 @@ class DedupScaleSpec extends SparkTestBase {
     assert(splits.getOrElse("train", 0L) > 0L && splits.getOrElse("eval", 0L) > 0L)
   }
 
+  test("cluster-size histogram counts components exactly (skew monitor)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same 17-group disjoint-vocabulary corpus: i % 17 over 200 docs
+    // puts 12 docs in groups 0-12 and 11 docs in groups 13-16, so the
+    // histogram must be exactly {12 -> 13 clusters, 11 -> 4 clusters}.
+    val docs = spark.sparkContext.parallelize(0 until 200, 4)
+      .map { i =>
+        val g = i % 17
+        (i.toLong,
+          (1 to 8).map(w => s"g${g}w$w").mkString(" "),
+          "src")
+      }
+      .toDF("doc_id", "text", "source")
+    val edges = DedupQueries.minhashEdges(docs)
+    val hist = DedupQueries.connectedComponents(edges, docs.select("doc_id"))
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(hist === Map(12L -> 13L, 11L -> 4L))
+  }
+
   test("minhash edges preserve near-dup connectivity on mixed corpora") {
     import spark.implicits._
     // two distinct clusters + a singleton: edges must connect each
