@@ -595,12 +595,60 @@ object DedupQueries {
        |GROUP BY sz
        |ORDER BY sz""".stripMargin
 
+  /** Per-doc count of distinct word 8-grams shared with the benchmark
+    * side. The benchmark gram set is distinct-projected and BROADCAST:
+    * eval benchmarks are megabytes while the corpus is the big side,
+    * so the probe never shuffles the corpus grams — scan-local hash
+    * probe, then one map-side-combinable count per doc_id. 8-grams
+    * (not the dedup 3-grams) are the standard decontamination span:
+    * long enough that sharing one is memorization evidence, not
+    * vocabulary coincidence.
+    */
+  private[graft] def contaminationHits(c: DataFrame,
+      isBench: Column): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("_g", array_distinct(
+        graft.functions.WordGrams.word_ngrams(col("text"), 8)))
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
+    val bench = grams(c.filter(isBench)).select("gram").distinct()
+    grams(c.filter(!isBench))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** q_decontaminate — benchmark decontamination: flag corpus docs
+    * that share any 8-gram with the held-out benchmark set (docs with
+    * doc_id % 97 == 0 stand in for an eval benchmark), with the count
+    * of distinct shared grams as evidence weight. Complements
+    * q_split_leakfree: the split stops NEAR-dup leakage structurally,
+    * this catches verbatim eval text embedded inside otherwise-novel
+    * train docs — the contamination mode cluster-keyed splitting
+    * cannot see.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame =
+    contaminationHits(corpus(s, dir), col("doc_id") % 97 === 0)
+      .orderBy("doc_id")
+
+  private val decontaminateSql =
+    s"""WITH corpus AS ($corpusSql),
+       |g8 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+       |    UNNEST(generate_series(1, len(words) - 7)) AS t(i)),
+       |bench AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM g8 JOIN bench USING (gram)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("q_dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_cluster_sizes", clusterSizes, Some(clusterSizesSql)),
+    QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_dedup_jaccard", jaccard, Some(jaccardSql)),
     QueryDef("q_dedup_survivors", survivors, Some(survivorsSql))

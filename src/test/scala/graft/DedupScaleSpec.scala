@@ -119,6 +119,23 @@ class DedupScaleSpec extends SparkTestBase {
     assert(hist === Map(12L -> 13L, 11L -> 4L))
   }
 
+  test("decontamination flags verbatim 8-gram overlap with exact hit counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val benchText = (1 to 10).map(i => s"b$i").mkString(" ") // 10 words
+    val docs = Seq(
+      (97L, benchText, "bench"),                    // the benchmark doc
+      (1L, benchText, "train"),                     // full copy: 10-8+1 = 3 grams
+      // novel text with ONE verbatim 8-word benchmark window embedded
+      (2L, "novel lead in words " +
+        (2 to 9).map(i => s"b$i").mkString(" ") + " novel tail", "train"),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" "), "train") // disjoint
+    ).toDF("doc_id", "text", "source")
+    val hits = DedupQueries.contaminationHits(docs, col("doc_id") % 97 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("minhash edges preserve near-dup connectivity on mixed corpora") {
     import spark.implicits._
     // two distinct clusters + a singleton: edges must connect each
