@@ -157,8 +157,31 @@ object DedupQueries {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(lvl))
-    var labels = vertices.select(col("doc_id"),
-      col("doc_id").as("cluster")).localCheckpoint(true)
+    // Seed: star-collapse the rep edges in ONE aggregation — every
+    // member's label starts at its minimum incident representative
+    // (doc_a < doc_b by construction), isolated docs at their own id.
+    // Equivalent to, and cheaper than, the identity seed plus a first
+    // propagation round: buckets collapse onto their rep before the
+    // loop, saving one full iteration over the edge relation (at web
+    // scale a round is a join over the whole edge set).
+    val seed = edges.groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("_rep"))
+    var labels = vertices.join(seed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("_rep"), col("doc_id")))
+          .as("cluster"))
+      .localCheckpoint(true)
+    // Convergence via the label-sum invariant: labels are min-monotone
+    // (every update strictly lowers a label), so the label sum strictly
+    // decreases until the fixpoint — one scan-aggregate over the
+    // checkpointed relation per round, instead of the |V|⋈|V| shuffle
+    // join + count the old changed-row check paid. decimal(38,0)
+    // cannot overflow any realistic id space (10^10 docs × 2^63 max id
+    // ≈ 10^29 « 10^38), so equal sums ⇔ no label moved.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+      .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -184,9 +207,9 @@ object DedupQueries {
         if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
           jumped.checkpoint(true)
         else jumped.localCheckpoint(true)
-      changed = next.join(
-          labels.select(col("doc_id"), col("cluster").as("_old")), "doc_id")
-        .filter(col("cluster") < col("_old")).count()
+      val nextSum = labelSum(next)
+      changed = if (nextSum.compareTo(prevSum) < 0) 1L else 0L
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
