@@ -216,26 +216,36 @@ object DedupQueries {
     labels
   }
 
+  /** The finished cluster-label table (doc_id, cluster), memoized per
+    * (session, sfDir) for the duration of a driver pass: three queries
+    * consume it (labels, leak-free split, size histogram), and the
+    * propagation loop's output is a checkpointed frame that
+    * canonicalized-plan caching cannot share — without the memo each
+    * consumer re-pays the whole iterative loop, which at web scale is
+    * several joins over the full edge relation. Edges are persisted +
+    * tracked HERE (not inside minhashEdges, which keeps
+    * q_dedup_minhash's isolated plan materialization-free): the
+    * clustering symmetrization reads that subtree twice (both union
+    * branches), and a driver pass that also emits the edge list
+    * (q_dedup_minhash) reuses the cache via canonicalized-plan dedup.
+    * Memo and cache are both released via SparkEntry.releaseCaches.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    QueryCaches.memoize(("ccLabels", s, dir)) {
+      val c = corpus(s, dir)
+      val edges = QueryCaches.track(minhashEdges(c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      connectedComponents(edges, c.select("doc_id"))
+    }
+
   /** q_dedup_clusters — minhash edges → connected components:
     * (doc_id, cluster = min doc_id in its component). The oracle
     * recomputes the same fixpoint as a recursive transitive closure
     * (exact — small components — while the Spark side stays the
     * iterative O(|edges|)-per-round plan that survives web scale).
     */
-  private def clusters(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    // edges persisted + tracked HERE (not inside minhashEdges, which
-    // keeps q_dedup_minhash's isolated plan materialization-free): the
-    // clustering symmetrization reads this subtree twice (both union
-    // branches — uncached, the whole shingle+md5+election build would
-    // run twice), and a driver pass that also emits the edge list
-    // (q_dedup_minhash) reuses the cache via canonicalized-plan dedup.
-    // Released via SparkEntry.releaseCaches like every builder cache.
-    val edges = QueryCaches.track(minhashEdges(c)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    connectedComponents(edges, c.select("doc_id"))
-      .orderBy("doc_id")
-  }
+  private def clusters(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir).orderBy("doc_id")
 
   /** Shared DuckDB CTE chain for every clustering oracle: corpus →
     * shingles → band signatures → representative election → candidate
@@ -573,10 +583,7 @@ object DedupQueries {
     * the split adds ZERO shuffles beyond the clustering itself.
     */
   private def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val edges = QueryCaches.track(minhashEdges(c)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    connectedComponents(edges, c.select("doc_id"))
+    ccLabels(s, dir)
       .select(col("doc_id"), col("cluster"),
         when(substring(md5(col("cluster").cast("string")), 1, 1) <= "c",
           "train").otherwise("eval").as("split"))
@@ -598,14 +605,12 @@ object DedupQueries {
     * near-identical pages are routine, and THIS query — two
     * map-side-combinable aggregations over the label table, no joins,
     * no pair enumeration — is how a pipeline sees them coming before
-    * any per-pair stage runs. Shares the persisted edge relation with
-    * the other clustering queries in a driver pass.
+    * any per-pair stage runs. Consumes the memoized label table, so in
+    * a driver pass with the other clustering queries it is two
+    * aggregations over an already-materialized frame.
     */
   private def clusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val edges = QueryCaches.track(minhashEdges(c)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    connectedComponents(edges, c.select("doc_id"))
+    ccLabels(s, dir)
       .groupBy("cluster").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
       .orderBy("sz")

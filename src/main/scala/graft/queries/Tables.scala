@@ -40,12 +40,28 @@ final case class QueryDef(
   */
 object QueryCaches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val memo = scala.collection.mutable.Map.empty[Any, DataFrame]
   def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  /** Memoize a MATERIALIZED (checkpointed) result across queries in one
+    * driver pass. Plan-canonicalized cache sharing cannot cover results
+    * produced by an iterative driver loop — each invocation ends in a
+    * fresh checkpoint whose plan is a new LogicalRDD — so builders that
+    * pay such a loop (connected components) register the finished frame
+    * here and sibling queries in the same pass consume it instead of
+    * re-running the loop. The build is deterministic, so memoization
+    * never changes results. Cleared by [[release]] BEFORE any RDD
+    * unpersist: a checkpointed frame has no lineage to recompute from,
+    * so a stale memo entry surviving an unpersist would be unreadable,
+    * not just slow. Same single-session assumption as `tracked`.
+    */
+  def memoize(key: Any)(build: => DataFrame): DataFrame =
+    synchronized { memo.getOrElseUpdate(key, build) }
   /** `blocking = true` waits for block eviction before returning —
     * measurement code must use it so async cleanup from one query never
     * overlaps the next timed window.
     */
   def release(blocking: Boolean = false): Unit = synchronized {
+    memo.clear()
     tracked.foreach(_.unpersist(blocking)); tracked.clear()
   }
 }
