@@ -70,8 +70,8 @@ class VectorRecallSpec extends SparkTestBase {
       .fn(spark, dir).filter(col("rank") <= 3)
       .select("query_id", "neighbor_id")
       .as[(Long, Long)].collect().toSet
-    def ivfAt(n: Int): Set[(Long, Long)] =
-      VectorQueries.ivfWith(spark, dir, n)
+    def ivfAt(n: Int, iters: Int = 1): Set[(Long, Long)] =
+      VectorQueries.ivfWith(spark, dir, n, iters)
         .select("query_id", "neighbor_id")
         .as[(Long, Long)].collect().toSet
     val ladder = Seq(1, 2, 4).map { n =>
@@ -85,5 +85,10 @@ class VectorRecallSpec extends SparkTestBase {
     // full probe = full candidate set = exact (same (cos, id) ranking)
     assert(ivfAt(64) == exact,
       "probing every cell must reproduce the exact top-3 verbatim")
+    // the guarantee is invariant in training depth: however the Lloyd
+    // loop moved the centroids, probing every cell still yields the
+    // full candidate set and therefore the exact verbatim top-3
+    assert(ivfAt(64, iters = 2) == exact,
+      "exactness at full probe must hold after a second Lloyd step")
   }
 }
