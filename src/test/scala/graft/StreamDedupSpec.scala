@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamDedup
+
+/** Pins the bounded-state contract of the watermarked streaming dedup:
+  *  (1) duplicates inside one micro-batch collapse to the first row;
+  *  (2) a duplicate arriving in a LATER batch within the watermark
+  *      delay of the key's first arrival is dropped (cross-batch state);
+  *  (3) once the event-time watermark passes a key's expiry its state
+  *      is EVICTED and a recurrence re-emits — the price of state
+  *      bounded by arrival-rate × delay instead of stream length.
+  * Batch boundaries are made deterministic by one file per trigger in
+  * strictly increasing modification-time order.
+  */
+class StreamDedupSpec extends SparkTestBase {
+
+  private def writeBatch(dir: String, name: String, modMinute: Int,
+                         rows: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val tmp = tempDir("graft-sd-stage")
+    rows.toDF("k", "ts_s")
+      .select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.endsWith(".crc")).head
+    val dst = Paths.get(dir, name)
+    Files.copy(Paths.get(part), dst)
+    Files.setLastModifiedTime(dst,
+      FileTime.fromMillis(1700000000000L + modMinute * 60000L))
+  }
+
+  test("streaming first-seen dedup: in-batch + within-delay dedup, " +
+      "eviction and re-emission beyond the delay") {
+    val src = tempDir("graft-sd-src")
+    // delay = 1 hour. Batch A: k1 twice (in-batch dup), k2, k3.
+    // watermark after A = 10:20 - 1h = 09:20.
+    writeBatch(src, "a.parquet", 0, Seq(
+      ("k1", "2021-01-01 10:00:00"), ("k1", "2021-01-01 10:05:00"),
+      ("k2", "2021-01-01 10:10:00"), ("k3", "2021-01-01 10:20:00")))
+    // Batch B: k1 again 30 min after first arrival — state alive
+    // (watermark 09:20 < k1 expiry ~11:00) => dropped; k4 fresh.
+    // watermark after B = 09:40.
+    writeBatch(src, "b.parquet", 1, Seq(
+      ("k1", "2021-01-01 10:30:00"), ("k4", "2021-01-01 10:40:00")))
+    // Batch C: k6 at 13:00 advances the watermark (for the NEXT batch)
+    // to 12:00, past every earlier key's expiry.
+    writeBatch(src, "c.parquet", 2, Seq(("k6", "2021-01-01 13:00:00")))
+    // Batch D: processed under eviction watermark 12:00 — k1 (expiry
+    // 11:30 = last-seen 10:30 + delay), k2, k3, k4 evict DURING this
+    // batch. k7 is fresh. (Eviction runs as part of a batch, so the
+    // recurrence probe needs this intervening batch: a k1 row HERE
+    // would still match the not-yet-evicted state.)
+    writeBatch(src, "d.parquet", 3, Seq(("k7", "2021-01-01 13:10:00")))
+    // Batch E: k1 recurs at 12:30 — above the 12:10 late-event
+    // watermark, and its state is gone => RE-EMITTED.
+    writeBatch(src, "e.parquet", 4, Seq(("k1", "2021-01-01 12:30:00")))
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k STRING, ts TIMESTAMP")
+    val deduped = StreamDedup.firstSeenStream(
+      spark, src, schema, "ts", "1 hour", "k")
+    val batches = StreamDedup.collectBatches(deduped, tempDir("graft-sd-ck"))
+      .map { case (id, rows) =>
+        id -> rows.map(_.getString(0)).sorted
+      }.filter(_._2.nonEmpty).toMap
+
+    // (1) in-batch dup collapsed; first batch emits each key once
+    assert(batches(0L) === Seq("k1", "k2", "k3"))
+    // (2) k1's within-delay recurrence dropped across the batch border
+    assert(batches(1L) === Seq("k4"))
+    assert(batches(2L) === Seq("k6"))
+    assert(batches(3L) === Seq("k7"))
+    // (3) eviction: k1 re-emits once its state aged out
+    assert(batches(4L) === Seq("k1"))
+    // corollary: within one delay window the stream result equals the
+    // batch first-seen dedupe (k1 emitted exactly once in batches 0-2)
+    val firstWindow = (0L to 2L).flatMap(batches.getOrElse(_, Nil))
+    assert(firstWindow.count(_ == "k1") === 1)
+  }
+}
