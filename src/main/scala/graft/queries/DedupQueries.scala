@@ -105,20 +105,25 @@ object DedupQueries {
     * clustering consumes; the map-side partial agg also shrinks the rep
     * side to |buckets| rows before it ever shuffles.
     */
-  private[graft] def minhashEdges(c: DataFrame): DataFrame = {
+  /** (doc_id, band, sig) LSH band rows. ONE digest per shingle
+    * occurrence, bound as a real column so the four slice-minima share
+    * it; all 4 band minima in ONE map-side-combinable aggregation pass
+    * (no shingle×band cross join — that quadruples the shuffle volume),
+    * then stack() unpivots to (band, sig).
+    */
+  private def bandSigs(c: DataFrame): DataFrame = {
     val sh = shingles(c)
-    // ONE digest per shingle occurrence, bound as a real column so the
-    // four slice-minima share it; all 4 band minima in ONE
-    // map-side-combinable aggregation pass (no shingle×band cross join —
-    // that quadruples the shuffle volume), then stack() unpivots to
-    // (band, sig) for the per-bucket rep election
     val sigs = sh.withColumn("_h", md5(col("shingle"))).groupBy("doc_id").agg(
       min(substring(col("_h"), 1, 8)).as("s0"),
       min(substring(col("_h"), 9, 8)).as("s1"),
       min(substring(col("_h"), 17, 8)).as("s2"),
       min(substring(col("_h"), 25, 8)).as("s3"))
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
+  }
+
+  private[graft] def minhashEdges(c: DataFrame): DataFrame = {
+    val bands = bandSigs(c)
     val reps = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("doc_a"))
     bands.join(reps, Seq("band", "sig"))
       .filter(col("doc_id") > col("doc_a"))
@@ -294,6 +299,58 @@ object DedupQueries {
       |FROM reps JOIN bands b USING (band, sig)
       |WHERE b.doc_id > doc_a
       |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** q_dedup_incremental — dedup a crawl INCREMENT against the existing
+    * corpus without touching the corpus side's documents: the mutated
+    * `+100000` docs play today's re-crawled batch, the base documents
+    * yesterday's corpus. For each incoming doc that shares any LSH band
+    * bucket with the corpus, emit the minimum matching corpus doc as
+    * `dup_of`; unmatched incoming docs are novel and absent.
+    *
+    * This is THE production shape at web scale: the corpus side
+    * contributes only its band signatures — in a real pipeline those
+    * are computed once per document lifetime and read from a signature
+    * store, so a daily increment costs O(|batch|) signature work plus
+    * one join, never a corpus re-scan (the full `q_dedup_minhash` /
+    * clustering pass is re-run only when thresholds change). The join
+    * is candidate-bounded the same way as the batch path: the corpus
+    * side collapses to ONE representative row per (band, sig) bucket
+    * before the join (min doc_id — which is exactly min over ALL
+    * matching corpus docs, since every member of a shared bucket
+    * shares that bucket), so a 10⁵-page boilerplate cluster in the
+    * corpus meets an incoming doc as one row, and join output is
+    * bounded by |incoming band rows|.
+    */
+  private[graft] def incrementHits(corpusSide: DataFrame,
+                                   incoming: DataFrame): DataFrame = {
+    val corpusReps = bandSigs(corpusSide)
+      .groupBy("band", "sig").agg(min(col("doc_id")).as("dup_of"))
+    bandSigs(incoming)
+      .join(corpusReps, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min(col("dup_of")).as("dup_of"))
+  }
+
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    incrementHits(c.filter(col("doc_id") < 100000),
+      c.filter(col("doc_id") >= 100000))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalSql = withCtes(
+    """,
+      |bands AS (
+      |  SELECT doc_id, band, min(substr(md5(shingle), band * 8 + 1, 8)) AS sig
+      |  FROM sh_all, UNNEST(generate_series(0, 3)) AS bt(band)
+      |  GROUP BY doc_id, band),
+      |corpus_reps AS (
+      |  SELECT band, sig, min(doc_id) AS dup_of FROM bands
+      |  WHERE doc_id < 100000 GROUP BY band, sig)""".stripMargin,
+    """SELECT b.doc_id, min(r.dup_of) AS dup_of
+      |FROM bands b JOIN corpus_reps r USING (band, sig)
+      |WHERE b.doc_id >= 100000
+      |GROUP BY b.doc_id
+      |ORDER BY doc_id""".stripMargin)
 
   /** q_dedup_simhash — 8-bit SimHash from md5 nibbles: bit_p = sign of
     * Σ_tokens (nibble_p(md5(token)) ≥ 8 ? +1 : −1). Equal signatures →
@@ -673,6 +730,7 @@ object DedupQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
+    QueryDef("q_dedup_incremental", incrementalDedup, Some(incrementalSql)),
     QueryDef("q_dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_cluster_sizes", clusterSizes, Some(clusterSizesSql)),

@@ -136,6 +136,30 @@ class DedupScaleSpec extends SparkTestBase {
     assert(hits === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("incremental dedup maps each incoming re-crawl to its corpus " +
+      "original, keeps novel docs, and collapses corpus clusters to reps") {
+    import spark.implicits._
+    // corpus: a 1000-doc identical boilerplate cluster (ids 0-999) plus
+    // two distinct docs; increment: a re-crawl of the boilerplate, a
+    // re-crawl of doc 2000, and a genuinely novel doc
+    val boiler = identicalCluster(1000)
+    val corpusSide = boiler.unionByName(Seq(
+      (2000L, "completely different words appear in this corpus doc here", "a"),
+      (2001L, "yet another unrelated corpus document with other words", "a"))
+      .toDF("doc_id", "text", "source"))
+    val incoming = Seq(
+      (100001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "in"),
+      (100002L, "completely different words appear in this corpus doc here", "in"),
+      (100003L, "no overlap with anything stored so far novel entirely fresh", "in")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupQueries.incrementHits(corpusSide, incoming)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the boilerplate re-crawl maps to the CLUSTER MIN (rep election
+    // collapsed 1000 corpus rows to one per bucket before the join);
+    // the exact re-crawl maps to its original; the novel doc is absent
+    assert(got === Map(100001L -> 0L, 100002L -> 2000L))
+  }
+
   test("minhash edges preserve near-dup connectivity on mixed corpora") {
     import spark.implicits._
     // two distinct clusters + a singleton: edges must connect each
