@@ -183,13 +183,13 @@ object DedupQueries {
     // join + count the old changed-row check paid. decimal(38,0)
     // cannot overflow any realistic id space (10^10 docs × 2^63 max id
     // ≈ 10^29 « 10^38), so equal sums ⇔ no label moved.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
+    def labelSum(df: DataFrame): java.math.BigDecimal = Option(df
       .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
-    var changed = 1L
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!converged && rounds < 50) {
       val hop = sym.join(
           labels.select(col("doc_id").as("u"), col("cluster")), "u")
         .select(col("v").as("doc_id"), col("cluster"))
@@ -213,7 +213,7 @@ object DedupQueries {
           jumped.checkpoint(true)
         else jumped.localCheckpoint(true)
       val nextSum = labelSum(next)
-      changed = if (nextSum.compareTo(prevSum) < 0) 1L else 0L
+      converged = nextSum.compareTo(prevSum) >= 0
       prevSum = nextSum
       labels = next
       rounds += 1

@@ -257,7 +257,7 @@ object VectorQueries {
     * top-k) holds at every setting and is spec-asserted at 1 AND 2.
     */
   private val ivfIters =
-    sys.env.getOrElse("SPARK_GRAFT_IVF_ITERS", "1").toInt
+    math.max(1, sys.env.getOrElse("SPARK_GRAFT_IVF_ITERS", "1").toInt)
 
   /** Integer score encoding (cosine rounded at 1e-6, tie → smaller
     * cent_id): argmax over it is deterministic and engine-portable.

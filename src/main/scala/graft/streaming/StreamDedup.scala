@@ -13,14 +13,16 @@ import org.apache.spark.sql.types.StructType
   * the bounded-state contract Structured Streaming offers for it:
   * `withWatermark(ts, delay)` + `dropDuplicatesWithinWatermark(keys)` —
   * duplicates arriving within `delay` of a key's first arrival are
-  * dropped exactly; a key's state expires at last-seen event time +
-  * delay (each duplicate refreshes it) and is EVICTED during the first
-  * batch whose eviction watermark passes that expiry — so total state
-  * is bounded by the keys active inside one delay window (arrival
-  * rate × delay), independent of stream length. The price is
-  * re-emission of a key that recurs after eviction — which downstream
-  * must treat as at-least-once first-seen (the engine's idempotent
-  * snapshot commits already do).
+  * dropped exactly; a key's state expires at FIRST-arrival event time
+  * + delay (duplicates are dropped without touching the stored expiry
+  * — spec-distinguished from refresh-on-duplicate semantics by an
+  * eviction watermark placed between the two candidate expiries) and
+  * is EVICTED during the first batch whose eviction watermark passes
+  * that expiry — so total state is bounded by the keys active inside
+  * one delay window (arrival rate × delay), independent of stream
+  * length. The price is re-emission of a key that recurs after
+  * eviction — which downstream must treat as at-least-once first-seen
+  * (the engine's idempotent snapshot commits already do).
   * StreamDedupSpec pins all three behaviors (in-batch dedup,
   * cross-batch dedup within delay, eviction + re-emission beyond it)
   * on a deterministic multi-batch file stream.

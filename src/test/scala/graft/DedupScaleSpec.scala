@@ -49,6 +49,15 @@ class DedupScaleSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components over an empty graph is an empty label table") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val verts = Seq.empty[Long].toDF("doc_id")
+    val n = DedupQueries.connectedComponents(edges, verts).count()
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(n === 0L)
+  }
+
   test("a 1000-doc identical cluster collapses to one component") {
     val c = identicalCluster(1000)
     import org.apache.spark.sql.functions.col

@@ -11,8 +11,13 @@ import graft.streaming.StreamDedup
   *  (1) duplicates inside one micro-batch collapse to the first row;
   *  (2) a duplicate arriving in a LATER batch within the watermark
   *      delay of the key's first arrival is dropped (cross-batch state);
-  *  (3) once the event-time watermark passes a key's expiry its state
-  *      is EVICTED and a recurrence re-emits — the price of state
+  *  (3) a key's expiry anchors at FIRST arrival + delay — duplicates
+  *      do NOT refresh it: the eviction watermark is steered BETWEEN
+  *      first-arrival-anchored expiry (11:00) and last-seen-anchored
+  *      expiry (11:30), so the final re-emission happens only under
+  *      the former (refresh semantics would keep the state and drop
+  *      the recurrence);
+  *  (4) once evicted, a recurrence re-emits — the price of state
   *      bounded by arrival-rate × delay instead of stream length.
   * Batch boundaries are made deterministic by one file per trigger in
   * strictly increasing modification-time order.
@@ -26,8 +31,11 @@ class StreamDedupSpec extends SparkTestBase {
     rows.toDF("k", "ts_s")
       .select(col("k"), col("ts_s").cast("timestamp").as("ts"))
       .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.endsWith(".crc")).head
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.endsWith(".crc")).head
+      finally listing.close()
     val dst = Paths.get(dir, name)
     Files.copy(Paths.get(part), dst)
     Files.setLastModifiedTime(dst,
@@ -43,21 +51,30 @@ class StreamDedupSpec extends SparkTestBase {
       ("k1", "2021-01-01 10:00:00"), ("k1", "2021-01-01 10:05:00"),
       ("k2", "2021-01-01 10:10:00"), ("k3", "2021-01-01 10:20:00")))
     // Batch B: k1 again 30 min after first arrival — state alive
-    // (watermark 09:20 < k1 expiry ~11:00) => dropped; k4 fresh.
-    // watermark after B = 09:40.
+    // (watermark 09:20 < k1 expiry 11:00) => dropped. This duplicate
+    // also arms the refresh probe: first-arrival expiry = 11:00,
+    // last-seen expiry would be 11:30. k4 fresh. watermark after
+    // B = 09:40.
     writeBatch(src, "b.parquet", 1, Seq(
       ("k1", "2021-01-01 10:30:00"), ("k4", "2021-01-01 10:40:00")))
-    // Batch C: k6 at 13:00 advances the watermark (for the NEXT batch)
-    // to 12:00, past every earlier key's expiry.
-    writeBatch(src, "c.parquet", 2, Seq(("k6", "2021-01-01 13:00:00")))
-    // Batch D: processed under eviction watermark 12:00 — k1 (expiry
-    // 11:30 = last-seen 10:30 + delay), k2, k3, k4 evict DURING this
-    // batch. k7 is fresh. (Eviction runs as part of a batch, so the
-    // recurrence probe needs this intervening batch: a k1 row HERE
-    // would still match the not-yet-evicted state.)
+    // Batch C: k6 at 12:15 advances the watermark (for the NEXT batch)
+    // to 11:15 — deliberately BETWEEN k1's first-arrival expiry
+    // (11:00) and its would-be refreshed expiry (11:30).
+    writeBatch(src, "c.parquet", 2, Seq(("k6", "2021-01-01 12:15:00")))
+    // Batch D: processed under eviction watermark 11:15 — k1 (expiry
+    // 11:00) and k2 (11:10) evict DURING this batch; under
+    // refresh-on-duplicate semantics k1 (11:30) would survive. k7 is
+    // fresh. (Eviction runs as part of a batch, so the recurrence
+    // probe needs this intervening batch: a k1 row HERE would still
+    // match the not-yet-evicted state.) watermark after D = 12:10.
     writeBatch(src, "d.parquet", 3, Seq(("k7", "2021-01-01 13:10:00")))
     // Batch E: k1 recurs at 12:30 — above the 12:10 late-event
-    // watermark, and its state is gone => RE-EMITTED.
+    // watermark, and its state is gone => RE-EMITTED. (Under refresh
+    // semantics the eviction watermark here, 12:10, would ALSO have
+    // evicted 11:30-expiry state — but eviction-in-batch means the
+    // row is matched against state before this batch's eviction, so
+    // a refreshed k1 would be DROPPED here; emission proves the
+    // first-arrival anchor.)
     writeBatch(src, "e.parquet", 4, Seq(("k1", "2021-01-01 12:30:00")))
 
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
