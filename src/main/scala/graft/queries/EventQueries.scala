@@ -89,6 +89,43 @@ object EventQueries {
       |    FROM events))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q_session_window — the same gap sessions via Spark's NATIVE
+    * `session_window` (the streaming-capable formulation: in a stream
+    * this exact groupBy runs with watermarked state and emits sessions
+    * as they close; q_sessionize's window-function form cannot stream).
+    * The DuckDB oracle rebuilds the sessions with the lag/sum trick, so
+    * the two formulations are proven equivalent — with one boundary
+    * nuance pinned by the oracle: session_window's per-event window is
+    * [ts, ts+gap) with END-EXCLUSIVE merging, so an event arriving
+    * EXACTLY gap after the previous one starts a NEW session (oracle:
+    * `>= 1800`), whereas q_sessionize's reference-shaped rule keeps it
+    * (`> 1800`).
+    */
+  private def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowSql =
+    """SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q_hourly_rollup — time-bucketed windowed aggregation (the batch
     * shape of the Structured-Streaming wave metrics; §2.9).
     */
@@ -143,6 +180,7 @@ object EventQueries {
     QueryDef("q_http_error_stats", httpErrorStats, Some(httpErrorStatsSql)),
     QueryDef("q_gdelt_scan", gdeltScan, Some(gdeltScanSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q_session_window", sessionWindowAgg, Some(sessionWindowSql)),
     QueryDef("q_hourly_rollup", hourlyRollup, Some(hourlyRollupSql))
   )
 }

@@ -42,8 +42,10 @@ class StreamDedupSpec extends SparkTestBase {
       FileTime.fromMillis(1700000000000L + modMinute * 60000L))
   }
 
-  test("streaming first-seen dedup: in-batch + within-delay dedup, " +
-      "eviction and re-emission beyond the delay") {
+  /** Stages the five-batch scenario into a fresh source dir, runs the
+    * dedup stream over it, returns batchId → sorted emitted keys.
+    */
+  private def runScenario(): Map[Long, Seq[String]] = {
     val src = tempDir("graft-sd-src")
     // delay = 1 hour. Batch A: k1 twice (in-batch dup), k2, k3.
     // watermark after A = 10:20 - 1h = 09:20.
@@ -81,11 +83,13 @@ class StreamDedupSpec extends SparkTestBase {
       "k STRING, ts TIMESTAMP")
     val deduped = StreamDedup.firstSeenStream(
       spark, src, schema, "ts", "1 hour", "k")
-    val batches = StreamDedup.collectBatches(deduped, tempDir("graft-sd-ck"))
+    StreamDedup.collectBatches(deduped, tempDir("graft-sd-ck"))
       .map { case (id, rows) =>
         id -> rows.map(_.getString(0)).sorted
       }.filter(_._2.nonEmpty).toMap
+  }
 
+  private def assertScenario(batches: Map[Long, Seq[String]]): Unit = {
     // (1) in-batch dup collapsed; first batch emits each key once
     assert(batches(0L) === Seq("k1", "k2", "k3"))
     // (2) k1's within-delay recurrence dropped across the batch border
@@ -98,5 +102,27 @@ class StreamDedupSpec extends SparkTestBase {
     // batch first-seen dedupe (k1 emitted exactly once in batches 0-2)
     val firstWindow = (0L to 2L).flatMap(batches.getOrElse(_, Nil))
     assert(firstWindow.count(_ == "k1") === 1)
+  }
+
+  test("streaming first-seen dedup: in-batch + within-delay dedup, " +
+      "eviction and re-emission beyond the delay") {
+    assertScenario(runScenario())
+  }
+
+  test("identical semantics on the RocksDB state store (the scale " +
+      "path: per-key state off the executor heap)") {
+    // the default HDFSBackedStateStore keeps every key's state in
+    // executor heap — at web-scale arrival rates the RocksDB provider
+    // is the deployable configuration, so the semantics contract must
+    // hold there bit-for-bit too (provider is read at query start)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try assertScenario(runScenario())
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
