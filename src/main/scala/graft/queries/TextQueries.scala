@@ -150,6 +150,62 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q_repetition — Gopher-style repetition signals (the quality
+    * filters web-scale training pipelines run beyond the length gates
+    * of q_quality_score): `dup_word_frac` = 1 − |distinct words| /
+    * |words| (the word-level analog of Gopher's duplicate-line
+    * fraction for this newline-free corpus) and `top_bigram_frac` =
+    * occurrences of the most frequent word 2-gram / total 2-grams
+    * (Gopher's top-n-gram fraction at n=2). High values mark
+    * boilerplate, keyword stuffing, and generation loops.
+    *
+    * Scale shape: the distinct-word ratio is fully scan-local (array
+    * arithmetic on the split); the top-bigram count is one
+    * explode + groupBy keyed by doc_id — map-side combinable and
+    * skew-free (group size is bounded by document length), the same
+    * shape as SimHash. 2-grams reuse [[graft.functions.WordNgramsExpr]]
+    * (one pass, whole-stage codegen).
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val base = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_words"),
+      size(array_distinct(split(col("text"), " "))).cast("bigint")
+        .as("n_distinct"))
+    val grams = d
+      .withColumn("_g", graft.functions.WordGrams.word_ngrams(col("text"), 2))
+      .select(col("doc_id"), size(col("_g")).cast("bigint").as("n_bi"),
+        explode(col("_g")).as("g"))
+    val top = grams.groupBy("doc_id", "n_bi", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_bi").agg(max(col("c")).as("top"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double"), 4).as("dup_word_frac"),
+        round(coalesce(col("top").cast("double") /
+          col("n_bi").cast("double"), lit(0.0)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+      |  FROM w),
+      |bi AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top, sum(c) AS n_bi FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  round(1 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+      |  round(coalesce(CAST(top AS DOUBLE) / n_bi, 0), 4) AS top_bigram_frac
+      |FROM base b LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q_dedup_exact — exact dedupe by content hash (hash-groupBy): one
     * keeper (min doc_id) per md5(text); md5 is identical across engines.
     */
@@ -245,6 +301,7 @@ object TextQueries {
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_source_rollup", sourceRollup, Some(sourceRollupSql))
   )
