@@ -94,12 +94,13 @@ object EventQueries {
     * this exact groupBy runs with watermarked state and emits sessions
     * as they close; q_sessionize's window-function form cannot stream).
     * The DuckDB oracle rebuilds the sessions with the lag/sum trick, so
-    * the two formulations are proven equivalent — with one boundary
-    * nuance pinned by the oracle: session_window's per-event window is
-    * [ts, ts+gap) with END-EXCLUSIVE merging, so an event arriving
-    * EXACTLY gap after the previous one starts a NEW session (oracle:
-    * `>= 1800`), whereas q_sessionize's reference-shaped rule keeps it
-    * (`> 1800`).
+    * the two formulations are proven equivalent on the corpus — and the
+    * boundary rule is the SAME as q_sessionize's: an event arriving
+    * EXACTLY one gap after its predecessor MERGES into the session
+    * (only `> gap` starts a new one). The corpus's microsecond
+    * timestamps never land exactly on the boundary, so that rule is
+    * pinned by SessionBoundarySpec against Spark itself, not by the
+    * oracle compare.
     */
   private def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -120,7 +121,7 @@ object EventQueries {
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
       |           THEN 1 ELSE 0 END AS new_session
       |    FROM events))
       |GROUP BY user_id, sid
