@@ -159,30 +159,34 @@ object TextQueries {
     * (Gopher's top-n-gram fraction at n=2). High values mark
     * boilerplate, keyword stuffing, and generation loops.
     *
-    * Scale shape: ONE scan, no join — the per-doc constants (word
-    * count, distinct count, bigram count) are computed scan-locally
-    * and ride the gram aggregation as grouping keys, so the whole
-    * query is an explode + a doc-keyed two-level hash aggregation:
-    * map-side combinable and skew-free (group size is bounded by
-    * document length), the same shape as SimHash. `explode_outer`
-    * keeps sub-2-word docs in the output (frac 0, matching the
-    * oracle's left join). 2-grams reuse
-    * [[graft.functions.WordNgramsExpr]] (one pass, whole-stage
-    * codegen).
+    * Scale shape: a cheap base scan for the per-doc word ratios plus
+    * an explode + doc-keyed two-level hash aggregation for the
+    * top-bigram count (map-side combinable, group size bounded by
+    * document length — the SimHash shape), re-joined on doc_id. A
+    * "one scan, no join" variant that carried the per-doc constants
+    * through the gram aggregation as grouping keys was MEASURED 6×
+    * slower at sf0.1 (0.39 → 2.29 s): Catalyst re-evaluates the
+    * scan-local `size(split(...))` expressions per EXPLODED row when
+    * they ride the generate — the same per-element inlining failure
+    * [[graft.functions.WordNgramsExpr]] was built to avoid — so the
+    * second lightweight scan is the cheaper path. The left join keeps
+    * sub-2-word docs (frac 0, matching the oracle). 2-grams reuse
+    * `WordNgramsExpr` (one pass, whole-stage codegen).
     */
-  private def repetition(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val base = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("n_words"),
+      size(array_distinct(split(col("text"), " "))).cast("bigint")
+        .as("n_distinct"))
+    val grams = d
       .withColumn("_g", graft.functions.WordGrams.word_ngrams(col("text"), 2))
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_words"),
-        size(array_distinct(split(col("text"), " "))).cast("bigint")
-          .as("n_distinct"),
-        size(col("_g")).cast("bigint").as("n_bi"),
-        explode_outer(col("_g")).as("g"))
-      .groupBy("doc_id", "n_words", "n_distinct", "n_bi", "g")
+      .select(col("doc_id"), size(col("_g")).cast("bigint").as("n_bi"),
+        explode(col("_g")).as("g"))
+    val top = grams.groupBy("doc_id", "n_bi", "g")
       .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_words", "n_distinct", "n_bi")
-      .agg(max(when(col("g").isNotNull, col("c")).otherwise(0L)).as("top"))
+      .groupBy("doc_id", "n_bi").agg(max(col("c")).as("top"))
+    base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_words").cast("double"), 4).as("dup_word_frac"),
@@ -190,6 +194,7 @@ object TextQueries {
           nullif(col("n_bi"), lit(0L)).cast("double"), lit(0.0)), 4)
           .as("top_bigram_frac"))
       .orderBy("doc_id")
+  }
 
   private val repetitionSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
