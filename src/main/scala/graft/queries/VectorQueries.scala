@@ -93,25 +93,62 @@ object VectorQueries {
   /** q_vector_lsh — bucketed ANN: compare only within equal sign-bucket,
     * top-3 per query by (cos desc, id). The 10^8-scale path: one shuffle
     * on the bucket key, no cross join.
+    *
+    * HOT-BUCKET BOUND (VERDICT r05 item 1): candidates collapse
+    * exact-duplicate embeddings to one representative BEFORE the bucket
+    * join. A web corpus's failure mode is a 10^5-page boilerplate
+    * cluster whose identical embeddings share one sign bucket — pairing
+    * members directly is O(k²) per query batch, the same
+    * unbounded-duplicate-cluster shape the MinHash path eliminated in
+    * r05. Here each distinct embedding contributes ONE cosine per query
+    * plus at most its 4 smallest member ids for ranking (ties within a
+    * duplicate group break by vec_id asc, so only a group's 4 smallest
+    * ids can ever reach the global top-3 even after one self-exclusion)
+    * — the result is row-identical to the member-level join, so the
+    * DuckDB oracle keeps the straightforward member-level formulation.
+    * VectorDupScaleSpec pins the linear candidate growth on a
+    * 1,000-identical-embedding bucket.
     */
-  private def lsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).withColumn("bucket",
-      signBucket(col("embedding"), 12))
+  private def lsh(s: SparkSession, dir: String): DataFrame =
+    lshFrom(embeddings(s, dir))._2
+
+  /** Core of q_vector_lsh over an explicit corpus; returns
+    * (pre-rank candidate rows, final result) so scale specs can count
+    * candidates directly.
+    */
+  private[graft] def lshFrom(e0: DataFrame): (DataFrame, DataFrame) = {
+    // duplicate-group collapse: rep = min vec_id, plus the 4 smallest
+    // member ids (bounded state: running row_number, then a ≤4-element
+    // collect per group)
+    val wIds = Window.partitionBy(col("embedding")).orderBy(col("vec_id"))
+    val reps = e0.select(col("vec_id"), col("embedding"))
+      .withColumn("_r", row_number().over(wIds))
+      .filter(col("_r") <= 4)
+      .groupBy(col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("m4"))
+      .withColumn("bucket", signBucket(col("embedding"), 12))
       .withColumn("nrm", norm(col("embedding")))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket"), col("nrm").as("qnrm"))
-    val pairs = e.join(q, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val q = e0.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), 12))
+      .withColumn("qnrm", norm(col("qv")))
+    // one cosine per (query, DISTINCT embedding) in the bucket
+    val cand = reps.join(q, Seq("bucket"))
       .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
         col("qnrm"), col("nrm")), 6))
+      .select(col("query_id"), col("cos"), col("m4"))
+    val pairs = cand
+      .select(col("query_id"), col("cos"),
+        explode(col("m4")).as("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    pairs.withColumn("rank", row_number().over(w))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val result = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
+    (cand, result)
   }
 
   private val lshSql = {
@@ -149,12 +186,12 @@ object VectorQueries {
       |  round(max(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS max_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** q_embedding_neardup — J4's embedding-cosine near-dup pairs
-    * (mod_dedupe.py:218-257): cheap predicates first — same label AND
-    * same 12-bit sign-LSH bucket — then cosine ≥ threshold. The bucket
-    * intersection is what makes this scale: per (label, bucket) group
-    * sizes are ~n/2^12 of a label, so candidate generation is bounded
-    * instead of O(n²) per label. Recall: sign-LSH finds identical and
+  /** q_embedding_neardup — J4's embedding-cosine near-dup candidate
+    * EDGES (mod_dedupe.py:218-257): exact-duplicate vectors collapse to
+    * a representative (k−1 member edges per k-group, cos = 1), then
+    * cheap predicates — same label AND same 12-bit sign-LSH bucket —
+    * gate the cosine ≥ threshold check between the DISTINCT
+    * representatives. Recall: sign-LSH finds identical and
     * near-identical vectors (equal signs); borderline 0.95 pairs whose
     * small components flip sign are traded away — the standard LSH
     * recall/cost trade (multi-probe or more tables would recover them).
@@ -162,31 +199,63 @@ object VectorQueries {
     * vec_id + 100000 — mirrored in the oracle) so the detector has true
     * positives to find at test scale.
     *
-    * APPROXIMATE, and the DuckDB oracle mirrors the SAME bucket filter:
-    * the oracle verifies engine-equality of the approximation, not
-    * recall. VectorRecallSpec holds the exact-form check: bucketed ⊆
-    * exact all-pairs cosine≥0.95, every injected duplicate found, recall
-    * measured and reported.
+    * APPROXIMATE, and the DuckDB oracle mirrors the SAME rep election +
+    * bucket filter: the oracle verifies engine-equality of the
+    * approximation, not recall. VectorRecallSpec holds the exact-form
+    * check: every emitted edge joins two vectors whose cosine ≥ 0.95,
+    * every injected duplicate is connected to its original through the
+    * edge set, recall measured and reported.
     */
   private def nearDup(s: SparkSession, dir: String): DataFrame = {
     val base = embeddings(s, dir)
-    val e = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+    nearDupFrom(base.unionByName(base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
-        col("label")))
+        col("label"))))
+  }
+
+  /** Core of q_embedding_neardup over an explicit corpus
+    * (VectorDupScaleSpec feeds synthetic hot-bucket corpora).
+    *
+    * REPRESENTATIVE ELECTION (VERDICT r05 item 1 — the embedding-space
+    * analog of the r05 MinHash fix): exact-duplicate vectors collapse
+    * to one representative (min vec_id per (label, embedding)) BEFORE
+    * the bucket join, so a k-member identical cluster contributes k−1
+    * member→rep edges (cos = 1 by definition) plus ONE row to the
+    * (label, bucket) join instead of k²/2 pairs inside the bucket. The
+    * output is therefore a candidate EDGE SET — spanning connectivity,
+    * exactly what the downstream clustering (q_dedup_clusters shape)
+    * consumes — not the full quadratic pair enumeration, whose size is
+    * itself O(k²) on the corpora where near-dup detection matters.
+    * Residual bucket groups hold only DISTINCT embeddings, so the old
+    * failure mode (10^5 identical boilerplate vectors in one bucket ⇒
+    * ~10^10 cosine pairs) is structurally gone; the skew monitor shape
+    * (q_cluster_sizes) covers the remaining distinct-but-near pileup.
+    */
+  private[graft] def nearDupFrom(corpus: DataFrame): DataFrame = {
+    // rep election: one linear agg + one linear join, same shape as
+    // DedupQueries.minhashEdges (no per-group arrays — bounded state)
+    val grp = corpus.groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val intra = corpus.join(grp, Seq("label", "embedding"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("label"), col("rep").as("id_a"),
+        col("vec_id").as("id_b"), lit(1.0).as("cos"))
+    val reps = grp
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .withColumn("nrm", norm(col("embedding")))
-    val a = e.select(col("vec_id").as("id_a"),
+    val a = reps.select(col("rep").as("id_a"),
       col("embedding").as("va"), col("label"), col("bucket"),
       col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"),
+    val b = reps.select(col("rep").as("id_b"),
       col("embedding").as("vb"), col("label"), col("bucket"),
       col("nrm").as("nb"))
-    a.join(b, Seq("label", "bucket")).filter(col("id_a") < col("id_b"))
+    val cross = a.join(b, Seq("label", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(cosPre(col("va"), col("vb"),
         col("na"), col("nb")), 6))
       .filter(col("cos") >= 0.95)
-      .select("label", "id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+    intra.unionByName(cross).orderBy("id_a", "id_b")
   }
 
   private val nearDupSql = {
@@ -198,16 +267,30 @@ object VectorQueries {
        |  UNION ALL
        |  SELECT vec_id + 100000 AS vec_id, embedding, label
        |  FROM embeddings WHERE vec_id % 10 = 0),
-       |bucketed AS (SELECT *, $bucket AS bucket FROM corpus)
-       |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-       |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-       |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-       |FROM bucketed a JOIN bucketed b
-       |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-       |    (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-       |     sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95
+       |grp AS (
+       |  SELECT label, embedding, min(vec_id) AS rep
+       |  FROM corpus GROUP BY label, embedding),
+       |intra AS (
+       |  SELECT c.label, g.rep AS id_a, c.vec_id AS id_b,
+       |    CAST(1.0 AS DOUBLE) AS cos
+       |  FROM corpus c JOIN grp g
+       |    ON c.label = g.label AND c.embedding = g.embedding
+       |  WHERE c.vec_id <> g.rep),
+       |reps AS (SELECT label, rep AS vec_id, embedding, $bucket AS bucket
+       |         FROM grp),
+       |cross_reps AS (
+       |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+       |  FROM reps a JOIN reps b
+       |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95)
+       |SELECT label, id_a, id_b, cos FROM intra
+       |UNION ALL
+       |SELECT label, id_a, id_b, cos FROM cross_reps
        |ORDER BY id_a, id_b""".stripMargin
   }
 
