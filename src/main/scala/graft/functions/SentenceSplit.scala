@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic punkt-lite sentence tokenizer (VERDICT r05 item 4).
+  *
+  * The reference's eventclass path tokenizes sentences with NLTK punkt
+  * (`/root/reference/src/newslookout/plugins/mod_eventclass.py:49,163`);
+  * punkt's learned behavior on news text is dominated by two rules —
+  * don't break after known abbreviations ("Rs. 5 cr.") and don't break
+  * after single-letter initials ("U.S. economy", "J. Doe") — so this
+  * stand-in fixes exactly those as a deterministic rule set:
+  *
+  *   1. a period following a listed abbreviation token is PROTECTED
+  *      (one `\b(?:…)\.` alternation pass);
+  *   2. a period following a single uppercase letter is PROTECTED;
+  *   3. the text then splits on `[.?!] ` (sentence punctuation + space
+  *      — the superset of the old `"\. "` rule), and protected periods
+  *      are restored inside each sentence.
+  *
+  * Everything is two codegen'd regexp_replace passes plus one split —
+  * scan-local, no UDF — and [[duckSql]] generates the byte-identical
+  * DuckDB mirror from the SAME abbreviation list (Java `$1` vs RE2
+  * `\1` replacement syntax and the explicit 'g' flag are the only
+  * dialect differences). Decimal numbers ("5.5%") never split because
+  * the delimiter requires a following space; digit-period-space ("in
+  * 2021. Next") DOES split, matching punkt.
+  */
+object SentenceSplit {
+
+  /** Non-breaking abbreviation tokens (financial-news skew, matching
+    * the reference corpus: honorifics, company suffixes, Indian-market
+    * units, month/citation short forms). Case-sensitive, plain word
+    * characters only (alternation-safe in both regex dialects).
+    */
+  val abbrevs: Seq[String] = Seq(
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Gen", "Col", "Lt", "Sen", "Gov",
+    "Hon", "Smt", "St", "Rs", "Re", "cr", "lakh", "vs", "etc", "approx",
+    "Inc", "Ltd", "Co", "Corp", "Pvt", "No", "Nos", "pp", "Vol", "Rev",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
+    "Oct", "Nov", "Dec")
+
+  /** Protected-period sentinel (U+0001, absent from the corpus):
+    * restored to '.' after the split.
+    */
+  private val S = "\u0001"
+
+  private val abbrevPattern = abbrevs.mkString("\\b(", "|", ")\\.")
+  private val initialPattern = "\\b([A-Z])\\."
+  private val delimiterPattern = "[.?!] "
+
+  /** Sentence array of a text column (order preserved; posexplode on
+    * the caller side keeps positions).
+    */
+  def sentences(t: Column): Column = {
+    val prot = regexp_replace(
+      regexp_replace(t, abbrevPattern, "$1" + S),
+      initialPattern, "$1" + S)
+    transform(split(prot, delimiterPattern),
+      s => regexp_replace(s, S, "."))
+  }
+
+  /** DuckDB mirror: an expression producing the same sentence LIST for
+    * `textExpr`, generated from the same rule set.
+    */
+  def duckSentences(textExpr: String): String = {
+    val prot =
+      s"""regexp_replace(regexp_replace($textExpr,
+         |      '$abbrevPattern', '\\1' || chr(1), 'g'),
+         |    '$initialPattern', '\\1' || chr(1), 'g')""".stripMargin
+    s"""list_transform(string_split_regex($prot, '$delimiterPattern'),
+       |  s -> replace(s, chr(1), '.'))""".stripMargin
+  }
+}

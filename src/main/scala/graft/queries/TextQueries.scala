@@ -78,14 +78,21 @@ object TextQueries {
 
   /** Stopword-hit count used by language-ID and quality scoring.
     * Counts occurrences of common English function words as standalone
-    * tokens.
+    * tokens — ONE `\b(?:w1|w2|…)\b` alternation scan per row (VERDICT
+    * r05 item 3: the per-word form re-scanned the text |stops| times, a
+    * linear-factor waste that grows with the table). Leftmost
+    * non-overlapping matches are identical across Java regex and
+    * DuckDB's RE2 here: stopwords are plain word characters, so a
+    * position matches at most one alternative with both boundaries.
     */
   private val enStops = graft.functions.TopTermsExpr.enStops
+  private val stopAlternation = enStops.mkString("\\b(?:", "|", ")\\b")
   private def stopHits(text: Column): Column =
-    enStops.map(w =>
-      size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0)))
-        .cast("bigint"))
-      .reduce(_ + _)
+    size(regexp_extract_all(text, lit(stopAlternation), lit(0)))
+      .cast("bigint")
+  /** The same alternation for the DuckDB mirror. */
+  private val stopAlternationSql =
+    s"len(regexp_extract_all(text, '$stopAlternation'))"
 
   /** q_lang_id — n-gram/stopword heuristic language scorer: score = en
     * stopword hits per 100 tokens; predict 'en' iff score ≥ 2.
@@ -103,9 +110,7 @@ object TextQueries {
   }
 
   private val langIdSql = {
-    val hits = enStops
-      .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
-      .mkString(" + ")
+    val hits = stopAlternationSql
     s"""SELECT doc_id, lang AS labeled_lang,
        |  CAST($hits AS BIGINT) AS stop_hits,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -136,9 +141,7 @@ object TextQueries {
   }
 
   private val qualityScoreSql = {
-    val hits = enStops
-      .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
-      .mkString(" + ")
+    val hits = stopAlternationSql
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars_m,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

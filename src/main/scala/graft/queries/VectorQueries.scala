@@ -361,14 +361,21 @@ object VectorQueries {
   private[graft] def ivfWith(s: SparkSession, dir: String, nprobe: Int,
                              iters: Int = ivfIters): DataFrame = {
     val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
-    // each vector's cell = argmax aggregation over broadcast centroids
-    def assignCells(cents: DataFrame): DataFrame = e
+    // Lloyd TRAINS on a deterministic hash sample (VERDICT r05 item 5:
+    // the q_sample_stratified gate — first two md5 hex chars < 'c0' is
+    // a reproducible 75% rate at this SF; a 10^9-vector deployment
+    // drops the threshold so training cost is independent of N while
+    // the full corpus is still assigned exactly once below)
+    val train = e.filter(
+      substring(md5(col("vec_id").cast("string")), 1, 2) < "c0")
+    // a vector's cell = argmax aggregation over broadcast centroids
+    def assignCells(side: DataFrame, cents: DataFrame): DataFrame = side
       .crossJoin(broadcast(cents))
       .withColumn("score", centScore(col("embedding"), col("cv"),
         col("nrm"), col("cnrm")))
       .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
-    // integer-exact per-cell mean of the assigned vectors
-    def meanCents(cell: DataFrame): DataFrame = e.join(cell, "vec_id")
+    // integer-exact per-cell mean of the assigned TRAINING vectors
+    def meanCents(cell: DataFrame): DataFrame = train.join(cell, "vec_id")
       .select(col("cell"), posexplode(transform(col("embedding"),
         x => round(x.cast("double") * 1e6, 0).cast("bigint")))
         .as(Seq("pos", "c")))
@@ -379,13 +386,14 @@ object VectorQueries {
           x => x.getField("comp")).as("cv"))
       .select(col("cell").as("cent_id"), col("cv"))
       .withColumn("cnrm", norm(col("cv")))
-    // --- train: `iters` Lloyd steps from the first-ivfCells seeds -----
+    // --- train: `iters` Lloyd steps from the first-ivfCells seeds,
+    //     assignments over the SAMPLE only ------------------------------
     var cents = e.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
-    for (_ <- 1 to iters) cents = meanCents(assignCells(cents))
-    // --- assign: final cells from the trained centroids ---------------
-    val assigned = assignCells(cents).join(e, "vec_id")
+    for (_ <- 1 to iters) cents = meanCents(assignCells(train, cents))
+    // --- assign: final cells for the FULL corpus ----------------------
+    val assigned = assignCells(e, cents).join(e, "vec_id")
     // --- probe: each query ranks the K centroids, keeps nprobe cells --
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -428,11 +436,11 @@ object VectorQueries {
       s"""cells_$i AS (
          |  SELECT e.vec_id,
          |    arg_max(c.cent_id, ${score("e.embedding", "c.cv", "c.cent_id")}) AS cell
-         |  FROM embeddings e CROSS JOIN $prev c GROUP BY e.vec_id),
+         |  FROM train e CROSS JOIN $prev c GROUP BY e.vec_id),
          |scaled_$i AS (
          |  SELECT sc.cell, t.pos,
          |    CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000) AS BIGINT) AS c
-         |  FROM embeddings e JOIN cells_$i sc USING (vec_id),
+         |  FROM train e JOIN cells_$i sc USING (vec_id),
          |    UNNEST(generate_series(1, len(e.embedding))) AS t(pos)),
          |cents_$i AS (
          |  SELECT cell AS cent_id, list(comp ORDER BY pos) AS cv FROM (
@@ -440,7 +448,10 @@ object VectorQueries {
          |    FROM scaled_$i GROUP BY cell, pos)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH seeds AS (
+    s"""WITH train AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'c0'),
+       |seeds AS (
        |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
        |  WHERE vec_id < $ivfCells),
        |$lloydCtes,

@@ -317,4 +317,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(gotUpper == lead.replace("three", "three & four")
       .replace("rates", "\"rates\""), s"got: $gotUpper")
   }
+
+  test("punkt-lite sentence split: abbreviation + initial protection, " +
+      "[.?!] delimiters, periods restored (VERDICT r05 item 4)") {
+    import graft.functions.SentenceSplit
+    def split(s: String): Seq[String] =
+      Seq(s).toDF("t").select(SentenceSplit.sentences(col("t")).as("s"))
+        .as[Seq[String]].head()
+    // abbreviations never break a sentence (mod_eventclass.py punkt use)
+    assert(split("The firm posted Rs. 5 cr. profit. Shares rose.") ===
+      Seq("The firm posted Rs. 5 cr. profit", "Shares rose."))
+    // single-letter initials never break (punkt initial heuristic)
+    assert(split("The U.S. economy grew. J. Doe disagreed.") ===
+      Seq("The U.S. economy grew", "J. Doe disagreed."))
+    // honorifics + company suffixes
+    assert(split("Mr. Rao met Dr. Shah of Acme Ltd. on Monday. It went well.") ===
+      Seq("Mr. Rao met Dr. Shah of Acme Ltd. on Monday", "It went well."))
+    // ? and ! are sentence delimiters too
+    assert(split("Will rates rise? Markets think so! Time will tell.") ===
+      Seq("Will rates rise", "Markets think so", "Time will tell."))
+    // decimals don't split (no space after the period)
+    assert(split("Growth was 5.5 per cent. Inflation fell.") ===
+      Seq("Growth was 5.5 per cent", "Inflation fell."))
+    // digit-period-space DOES split, matching punkt
+    assert(split("It happened in 2021. Nobody noticed.") ===
+      Seq("It happened in 2021", "Nobody noticed."))
+    // no delimiter at all -> one sentence, text unchanged
+    assert(split("No delimiter here") === Seq("No delimiter here"))
+  }
 }

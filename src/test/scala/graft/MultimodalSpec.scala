@@ -178,4 +178,45 @@ class MultimodalSpec extends SparkTestBase {
       new Array[Byte](40)).isEmpty) // not AVI
     assert(Multimodal.decodeAvi(ok2.take(ok2.length - 10)).isEmpty) // truncated
   }
+
+  test("PNG decoder: lossless build->decode round trip via the real JDK " +
+      "codec, hand-parsed IHDR fields, junk rejected") {
+    for (id <- Seq(0L, 7L, 255L, 99999L)) {
+      val r = Multimodal.decodePng(Multimodal.buildPng(id, 9, 6)).get
+      val expR = (for (x <- 0 until 9; y <- 0 until 6)
+        yield (id + x.toLong * y) % 256).sum
+      val expG = (for (_ <- 0 until 9; y <- 0 until 6)
+        yield (id + 3L * y) % 256).sum
+      val expB = (for (x <- 0 until 9; _ <- 0 until 6)
+        yield (id + 2L * x) % 256).sum
+      assert((r.width, r.height, r.hdr_w, r.hdr_h, r.bit_depth) ==
+        ((9, 6, 9, 6, 8)), s"id=$id")
+      assert((r.sum_r, r.sum_g, r.sum_b, r.px00_g) ==
+        ((expR, expG, expB, (id % 256).toInt)), s"id=$id")
+    }
+    assert(Multimodal.decodePng("not a png at all, clearly".getBytes)
+      .isEmpty)
+    // BMP magic is not PNG magic
+    assert(Multimodal.decodePng(Multimodal.buildBmp24(1L, 7, 5)).isEmpty)
+    // truncated PNG: signature ok but pixel data gone
+    val png = Multimodal.buildPng(3L, 9, 6)
+    assert(Multimodal.decodePng(png.take(40)).isEmpty)
+  }
+
+  test("JPEG decoder: marker walk to SOF0, real entropy decode, " +
+      "DCT-aligned blocks re-quantize EXACTLY (no tolerance)") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 42L, 99999L)) {
+      val r = Multimodal.decodeJpeg(Multimodal.buildJpeg(id)).get
+      assert((r.width, r.height, r.sof_w, r.sof_h) == ((24, 16, 24, 16)),
+        s"id=$id")
+      assert((r.n_components, r.prec_bits, r.n_blocks) == ((3, 8, 6)),
+        s"id=$id")
+      val expSum = (for (bx <- 0 until 3; by <- 0 until 2)
+        yield ((id + bx + 2L * by) % 4) * (1 + bx + 10 * by)).sum
+      assert(r.block_sum === expSum, s"id=$id block levels must " +
+        "re-quantize to the exact source levels")
+    }
+    assert(Multimodal.decodeJpeg("JFIF but not really".getBytes).isEmpty)
+    assert(Multimodal.decodeJpeg(Multimodal.buildPng(1L, 9, 6)).isEmpty)
+  }
 }
