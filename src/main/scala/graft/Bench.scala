@@ -38,6 +38,14 @@ object BenchProtocol {
     * on every persistent RDD still registered with the context
     * (SQL-cached plans included — their storage is ordinary persisted
     * RDDs) until eviction completes.
+    *
+    * BENCH-JVM-ONLY (ADVICE r05): the persistent-RDD sweep unpersists
+    * EVERY cache in the context, including application-owned ones a
+    * host session might hold — by design here, because the bench mains
+    * own their whole session and a leftover cache from a previous rep
+    * is measurement contamination. Never call this from a shared/host
+    * session; use SparkEntry.releaseCaches there, which drops only
+    * builder-tracked entries (the QueryCaches contract).
     */
   def fresh(spark: SparkSession): Unit = {
     SparkEntry.releaseCaches(blocking = true)

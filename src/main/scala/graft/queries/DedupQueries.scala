@@ -156,7 +156,8 @@ object DedupQueries {
     * data collect; the 50-round cap is a runaway guard only.
     */
   private[graft] def connectedComponents(edges: DataFrame,
-                                         vertices: DataFrame): DataFrame = {
+                                         vertices: DataFrame,
+                                         maxRounds: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = QueryCaches.track(edges
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -189,7 +190,7 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val hop = sym.join(
           labels.select(col("doc_id").as("u"), col("cluster")), "u")
         .select(col("v").as("doc_id"), col("cluster"))
@@ -218,6 +219,14 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    // ADVICE r05: the round cap is a runaway guard, and an unconverged
+    // exit means the labels are WRONG (partially propagated) — they
+    // must never flow silently into the split/histogram consumers.
+    // Pointer jumping converges in O(log diameter) rounds, so hitting
+    // the default cap of 50 is a structural bug, not a tuning issue.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds rounds; " +
+        "refusing to return partially-propagated cluster labels")
     labels
   }
 

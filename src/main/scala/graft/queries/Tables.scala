@@ -29,19 +29,34 @@ final case class QueryDef(
   * dedups by canonicalized plan, so re-running a query over the same
   * sfDir re-uses (and re-tracks) the existing entry.
   *
-  * SINGLE-SESSION ASSUMPTION (ADVICE r04): the registry is JVM-global
-  * and `release()` drops every tracked entry regardless of which
-  * SparkSession or query batch registered it. That matches the driver
-  * contract — one session, one query batch at a time, release between
-  * batches — but two drivers interleaving query batches in one JVM
-  * would unpersist each other's in-use caches. If multi-session use
-  * ever appears, key the registry by `df.sparkSession` and release
-  * per session.
+  * SINGLE-SESSION, NOW ASSERTED (ADVICE r04/r05): the registry is
+  * JVM-global and `release()` drops every tracked entry. That matches
+  * the driver contract — one session, one query batch at a time,
+  * release between batches — and since r06 the contract is ENFORCED:
+  * the first registrant claims the registry and a second SparkSession
+  * registering before release() throws at registration time, so two
+  * interleaving drivers can never silently unpersist each other's
+  * in-use caches. If multi-session use ever appears, key the registry
+  * by `df.sparkSession` and release per session.
   */
 object QueryCaches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val memo = scala.collection.mutable.Map.empty[Any, DataFrame]
-  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  // single-session assert (ADVICE r05): the first registrant claims the
+  // registry; a second session registering before release() would make
+  // release() unpersist in-use caches it does not own — fail loudly at
+  // REGISTRATION time instead of corrupting the other session's run
+  private var owner: org.apache.spark.sql.SparkSession = null
+  private def claim(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (owner == null) owner = s
+    else if (!(owner eq s)) throw new IllegalStateException(
+      "QueryCaches is single-session (driver contract: one session, one " +
+        "query batch, release between batches); a second SparkSession " +
+        "registered before release(). Key the registry by session if " +
+        "multi-session use is ever intended.")
+  }
+  def track(df: DataFrame): DataFrame =
+    synchronized { claim(df.sparkSession); tracked += df; df }
   /** Memoize a MATERIALIZED (checkpointed) result across queries in one
     * driver pass. Plan-canonicalized cache sharing cannot cover results
     * produced by an iterative driver loop — each invocation ends in a
@@ -55,7 +70,9 @@ object QueryCaches {
     * not just slow. Same single-session assumption as `tracked`.
     */
   def memoize(key: Any)(build: => DataFrame): DataFrame =
-    synchronized { memo.getOrElseUpdate(key, build) }
+    synchronized {
+      memo.getOrElseUpdate(key, { val df = build; claim(df.sparkSession); df })
+    }
   /** `blocking = true` waits for block eviction before returning —
     * measurement code must use it so async cleanup from one query never
     * overlaps the next timed window.
@@ -63,6 +80,7 @@ object QueryCaches {
   def release(blocking: Boolean = false): Unit = synchronized {
     memo.clear()
     tracked.foreach(_.unpersist(blocking)); tracked.clear()
+    owner = null
   }
 }
 

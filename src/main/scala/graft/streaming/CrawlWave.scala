@@ -508,4 +508,27 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     * join in the plan.
     */
   def articlesBaseNow(): DataFrame = articlesT.read(articleBaseSchema)
+
+  /** OFFLINE html-sidecar compaction (ADVICE r05): the sidecar commits
+    * every fetched payload per wave (WARC semantics), so rows for pages
+    * the F7/F8 gates later dropped — and tombstoned dedupe victims —
+    * accumulate as orphans that cost disk but never surface through
+    * [[articlesNow]]. This rewrites the sidecar against the LIVE
+    * article urls (left-semi join on the 28-vs-92-MB-shaped base
+    * table), dropping orphans in one O(|sidecar|) pass. Run it BETWEEN
+    * crawls, never per wave: per-wave sidecar IO stays O(delta) by
+    * design, and the snapshot log keeps prior payload history readable
+    * at earlier snapshot ids until vacuum. Returns rows kept.
+    */
+  def compactHtmlSidecar(waveId: Long): Long = {
+    val live = articlesT.read(articleBaseSchema).select("url")
+    val kept = htmlT.read(htmlSchema).dropDuplicates("url")
+      .join(live, Seq("url"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = kept.count()
+      htmlT.commitReplace(kept, waveId, Map("html_rows_kept" -> n))
+      n
+    } finally { kept.unpersist(blocking = true); () }
+  }
 }

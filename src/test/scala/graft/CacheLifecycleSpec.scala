@@ -51,4 +51,44 @@ class CacheLifecycleSpec extends SparkTestBase {
       "only builder-tracked entries may be dropped")
     mine.unpersist(blocking = true)
   }
+
+  test("QueryCaches asserts single-session use at registration " +
+      "(ADVICE r05)") {
+    import graft.queries.QueryCaches
+    import spark.implicits._
+    QueryCaches.release(blocking = true) // clean slate / clear owner
+    val df = Seq(1).toDF("x").persist()
+    QueryCaches.track(df) // first registrant claims the registry
+    val other = spark.newSession()
+    val df2 = other.range(1).toDF().persist()
+    // a SECOND session registering before release() must fail loudly,
+    // not silently let release() unpersist caches it does not own
+    intercept[IllegalStateException] { QueryCaches.track(df2) }
+    QueryCaches.release(blocking = true)
+    // after release the registry is unclaimed: the other session may
+    // now register (and its entry is released normally)
+    QueryCaches.track(df2)
+    QueryCaches.release(blocking = true)
+  }
+
+  test("connected components throws, never returns silently, when the " +
+      "round cap is hit before convergence (ADVICE r05)") {
+    import spark.implicits._
+    // a 4-chain needs >1 round even with pointer jumping; cap at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val verts = (1L to 5L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      graft.queries.DedupQueries
+        .connectedComponents(edges, verts, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    SparkEntry.releaseCaches(blocking = true)
+    // the default cap converges fine on the same graph
+    val labels = graft.queries.DedupQueries
+      .connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SparkEntry.releaseCaches(blocking = true)
+    assert(labels === (1L to 5L).map(_ -> 1L).toMap)
+  }
 }

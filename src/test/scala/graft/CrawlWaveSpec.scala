@@ -466,6 +466,32 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("offline sidecar compaction drops orphan payloads, keeps the " +
+      "logical record intact (ADVICE r05)") {
+    val e = newEngine()
+    e.runWave(); e.runWave()
+    e.postProcessArticles()
+    e.dedupeArticles() // tombstones make some payload rows orphans
+    val liveUrls = e.articlesBaseNow().select("url")
+    val before = e.htmlT.read(e.htmlSchema).count()
+    val orphans = e.htmlT.read(e.htmlSchema).dropDuplicates("url")
+      .join(liveUrls, Seq("url"), "left_anti").count()
+    val recordBefore = e.articlesNow()
+      .select(col("url"), md5(col("html")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val kept = e.compactHtmlSidecar(waveId = 99L)
+    // every surviving row joins a live article; orphans are gone
+    assert(kept == before - orphans,
+      s"kept=$kept before=$before orphans=$orphans")
+    assert(e.htmlT.read(e.htmlSchema)
+      .join(liveUrls, Seq("url"), "left_anti").count() == 0L)
+    // the logical article record is byte-identical after compaction
+    val recordAfter = e.articlesNow()
+      .select(col("url"), md5(col("html")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(recordAfter === recordBefore)
+  }
+
   test("post-process chain enriches articles in W1 order") {
     import spark.implicits._
     val e = newEngine()
