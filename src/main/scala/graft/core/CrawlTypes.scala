@@ -165,7 +165,23 @@ final case class SchedulerConfig(
       * O(|frontier|) — the difference between feasible and infeasible at a
       * 10^10-URL frontier.
       */
-    compactFrontierEveryWaves: Int = 8)
+    compactFrontierEveryWaves: Int = 8,
+    /** Carry per-host crawl-delay DEBT across waves (VERDICT r05 item 8):
+      * the reference drains each plugin queue on a CONTINUOUS politeness
+      * clock (worker.py:943-1000 — waits don't reset between runs), but
+      * a per-wave budget floor(waveSeconds / wait) resets the fractional
+      * remainder at every wave boundary. With this flag on, the unused
+      * remainder (and a starving host's whole unusable wave) rolls into
+      * the next wave's budget: budget_w = floor((waveSeconds +
+      * carry_{w-1}) / wait_w). Carry state lives in a per-host snapshot
+      * table (host, carrySecs), committed per wave with the same
+      * resume-idempotent guard as every other table, and is bounded by
+      * [[SchedulerConfig.waveSeconds]] per host; hosts absent from the
+      * wave's frontier reset to zero (idle time is not debt). Off by
+      * default: the carry changes budgets, so ordering-parity pins run
+      * without it.
+      */
+    carryBudgetDebt: Boolean = false)
 
 /** Per-partition counters committed with each snapshot (north rule:
   * "per-partition fetch counters"; reference analog A5,

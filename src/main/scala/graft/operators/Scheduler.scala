@@ -44,6 +44,45 @@ object Scheduler {
       floor(lit(cfg.waveSeconds).cast("double") /
         politenessWaitSecs(host, waveId, cfg).cast("double")).cast("int"))
 
+  /** Per-host budget with carried crawl-delay debt
+    * ([[SchedulerConfig.carryBudgetDebt]]): the continuous-politeness
+    * form — unused seconds from earlier waves extend this wave's
+    * usable window. `carrySecs` must be a bound LONG column (joined
+    * from the carry state table, 0 for unknown hosts).
+    */
+  def hostBudgetWithCarry(host: Column, carrySecs: Column, waveId: Long,
+                          cfg: SchedulerConfig): Column =
+    least(
+      lit(cfg.topKPerHost),
+      floor((lit(cfg.waveSeconds).cast("double") +
+          carrySecs.cast("double")) /
+        politenessWaitSecs(host, waveId, cfg).cast("double")).cast("int"))
+
+  /** Next-wave carry for every host in `hosts` (one row per distinct
+    * host), from the previous carry table and this wave's scheduled
+    * counts: carry' = clamp(waveSeconds + carry − scheduled·wait,
+    * 0, waveSeconds). The clamp bounds per-host state by one full wave
+    * of credit; hosts absent from `hosts` simply drop out (idle time is
+    * not debt). One map-side-combinable count over the (small)
+    * scheduled set plus two host-keyed joins over the distinct-host
+    * relation — O(|active hosts|), never O(|frontier|).
+    */
+  def nextCarry(hosts: DataFrame, prevCarry: DataFrame,
+                scheduled: DataFrame, waveId: Long,
+                cfg: SchedulerConfig): DataFrame = {
+    val counts = scheduled.groupBy("host").agg(count(lit(1)).as("_cnt"))
+    hosts.select(col("host")).distinct()
+      .join(prevCarry.select(col("host"),
+        col("carrySecs").as("_prev")), Seq("host"), "left")
+      .join(counts, Seq("host"), "left")
+      .select(col("host"),
+        least(lit(cfg.waveSeconds.toLong), greatest(lit(0L),
+          lit(cfg.waveSeconds.toLong) + coalesce(col("_prev"), lit(0L)) -
+            coalesce(col("_cnt"), lit(0L)) *
+              politenessWaitSecs(col("host"), waveId, cfg).cast("long")))
+          .as("carrySecs"))
+  }
+
   /** Robots gate: drop urls whose path starts with a disallowed prefix of
     * their host. `robots(host STRING, disallowPrefixes ARRAY<STRING>)` is
     * a dimension table → broadcast left join + exists-filter (no shuffle
@@ -66,9 +105,21 @@ object Scheduler {
     * (priority, seq) crawl order.
     */
   def topKPerHost(frontier: DataFrame, waveId: Long,
-                  cfg: SchedulerConfig): DataFrame = {
-    val budget = hostBudget(col("host"), waveId, cfg)
-    val salted = frontier.withColumn("_salt",
+                  cfg: SchedulerConfig,
+                  carry: Option[DataFrame] = None): DataFrame = {
+    // with carry state, the budget reads a per-host joined column; the
+    // carry relation is O(|active hosts|) ≪ O(|frontier|), so AQE picks
+    // a broadcast join at realistic sizes
+    val base = carry match {
+      case Some(cdf) => frontier
+        .join(cdf.select(col("host"), col("carrySecs").as("_carrySecs")),
+          Seq("host"), "left")
+        .withColumn("_carrySecs", coalesce(col("_carrySecs"), lit(0L)))
+      case None => frontier.withColumn("_carrySecs", lit(0L))
+    }
+    val budget =
+      hostBudgetWithCarry(col("host"), col("_carrySecs"), waveId, cfg)
+    val salted = base.withColumn("_salt",
       pmod(xxhash64(col("url")), lit(cfg.saltBuckets.toLong)).cast("int"))
     val w1 = Window.partitionBy(col("host"), col("_salt"))
       .orderBy(col("priority"), col("seq"))
@@ -82,7 +133,7 @@ object Scheduler {
       .withColumn("_rn", row_number().over(w2))
       .filter(col("_rn") <= budget)
       .withColumn("scheduleRank", col("_rn").cast("int"))
-      .drop("_rn")
+      .drop("_rn", "_carrySecs")
   }
 
   /** Typed per-host budget enforcement (north rule: "per-host politeness
@@ -96,10 +147,19 @@ object Scheduler {
     * (e.g. carrying per-host crawl-delay debt across waves).
     */
   def topKPerHostTyped(frontier: DataFrame, waveId: Long,
-                       cfg: SchedulerConfig): DataFrame = {
+                       cfg: SchedulerConfig,
+                       carry: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.Row
-    val withBudget = frontier.withColumn("_budget",
-      hostBudget(col("host"), waveId, cfg))
+    val base = carry match {
+      case Some(cdf) => frontier
+        .join(cdf.select(col("host"), col("carrySecs").as("_carrySecs")),
+          Seq("host"), "left")
+        .withColumn("_carrySecs", coalesce(col("_carrySecs"), lit(0L)))
+      case None => frontier.withColumn("_carrySecs", lit(0L))
+    }
+    val withBudget = base.withColumn("_budget",
+      hostBudgetWithCarry(col("host"), col("_carrySecs"), waveId, cfg))
+      .drop("_carrySecs")
     val schema = withBudget.schema
     val out = org.apache.spark.sql.types.StructType(
       schema.filterNot(_.name == "_budget") :+
@@ -137,7 +197,8 @@ object Scheduler {
     */
   def schedule(frontier: DataFrame, seen: DataFrame, robots: DataFrame,
                waveId: Long, cfg: SchedulerConfig,
-               blooms: Option[Array[Array[Byte]]] = None): DataFrame = {
+               blooms: Option[Array[Array[Byte]]] = None,
+               carry: Option[DataFrame] = None): DataFrame = {
     // J1 first: seen-ness is uniform per url, so pruning before the
     // first-seen dedupe cannot change which duplicate survives, and it
     // shrinks every later stage.
@@ -156,6 +217,6 @@ object Scheduler {
     // NOTE: no trailing repartition — the scheduled set is small (≤ K per
     // host); downstream stages (fetch join on url, frontier commit by
     // hostHash) pick their own partitioning.
-    topKPerHost(gated, waveId, cfg)
+    topKPerHost(gated, waveId, cfg, carry)
   }
 }

@@ -81,12 +81,20 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
   val htmlSchema: StructType = StructType(Seq(
     StructField("url", StringType), StructField("html", BinaryType)))
 
+  /** Per-host carried crawl-delay debt ([[SchedulerConfig
+    * .carryBudgetDebt]]): one row per host active in the last wave's
+    * frontier. Bounded by waveSeconds per host; absent host = zero.
+    */
+  val budgetSchema: StructType = StructType(Seq(
+    StructField("host", StringType), StructField("carrySecs", LongType)))
+
   val frontierT = new SnapshotTable(spark, s"$root/frontier")
   val seenT = new SnapshotTable(spark, s"$root/seen")
   val articlesT = new SnapshotTable(spark, s"$root/articles")
   val htmlT = new SnapshotTable(spark, s"$root/articles_html")
   val bloomStore = new BloomStore(s"$root/seen_bloom")
   val tombstonesT = new SnapshotTable(spark, s"$root/tombstones")
+  val budgetT = new SnapshotTable(spark, s"$root/host_budget")
 
   final case class WaveStats(waveId: Long, scheduled: Long, fetched: Long,
                              failed: Long, newLinks: Long)
@@ -316,8 +324,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       try f finally sc.setJobDescription(null)
     }
 
+    // Carried politeness debt (flagged): the previous wave's per-host
+    // carry joins into the budget; read at wave-1 like every other
+    // state table so a crashed wave re-schedules identically.
+    val carry = if (cfg.carryBudgetDebt)
+      Some(budgetT.readAtWave(budgetSchema, waveId - 1)) else None
     val scheduled = Scheduler
-      .schedule(frontier, seen, robots, waveId, cfg, blooms)
+      .schedule(frontier, seen, robots, waveId, cfg, blooms, carry)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val fetchJoin = scheduled.join(
         pages.select(col("url"), col("html")), Seq("url"), "left")
@@ -405,6 +418,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       phase("commit-articles")(
         articlesT.commitAppend(articles.drop("html")
           .repartition(slots(stats.fetched)), waveId, counters))
+    // Next-wave politeness carry (flagged): distinct frontier hosts ⋈
+    // previous carry ⋈ this wave's scheduled counts — O(|active hosts|)
+    // state, replaced per wave under the same idempotent guard.
+    if (cfg.carryBudgetDebt && budgetT.latest.forall(_.waveId < waveId))
+      phase("commit-budget")(budgetT.commitReplace(
+        Scheduler.nextCarry(frontier, carry.get, scheduled, waveId, cfg)
+          .repartition(slots(stats.scheduled)), waveId, counters))
     if (frontierT.latest.forall(_.waveId < waveId)) {
       // Append-only frontier: each wave writes only its newly discovered
       // links — O(delta) IO, never the O(|frontier|) rewrite the

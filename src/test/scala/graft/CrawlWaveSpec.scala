@@ -466,6 +466,41 @@ class CrawlWaveSpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("carried politeness debt: fractional wave remainders roll into " +
+      "later budgets (VERDICT r05 item 8)") {
+    // two hosts (hostIdOf needs hosts > hotHosts), deterministic wait:
+    // fixed 7 + rand-in-[0,0] = 7s for EVERY (host, wave); waveSeconds
+    // 10 -> each host's continuous-clock budget cycles 1,1,2,1,2 while
+    // the per-wave floor alone would give a flat 1 -> totals double
+    val pages = SyntheticPages.pages(spark, N, hosts = 2, hotHosts = 1)
+    val debtCfg = cfg(4, 4).copy(waveSeconds = 10, politenessFixedSecs = 7,
+      politenessRandMinSecs = 0, politenessRandMaxSecs = 0,
+      topKPerHost = 5, carryBudgetDebt = true)
+    val e = new CrawlEngine(spark, tempDir("crawl-debt"), pages,
+      emptyRobots, debtCfg)
+    e.init(SyntheticPages.seeds(spark, 40, hosts = 2, hotHosts = 1))
+    val got = (1 to 5).map(_ => e.runWave().scheduled)
+    // per-host carry after each wave: 10+c-7*k clamped to [0,10]:
+    //   w1 c=0  b=floor(10/7)=1  c'=3
+    //   w2 c=3  b=floor(13/7)=1  c'=6
+    //   w3 c=6  b=floor(16/7)=2  c'=2
+    //   w4 c=2  b=floor(12/7)=1  c'=5
+    //   w5 c=5  b=floor(15/7)=2  c'=1
+    // both hosts always have pending urls, so totals are 2x that cycle
+    assert(got === Seq(2L, 2L, 4L, 2L, 4L))
+    // control: same config with the flag off schedules the flat floor
+    val e2 = new CrawlEngine(spark, tempDir("crawl-nodebt"), pages,
+      emptyRobots, debtCfg.copy(carryBudgetDebt = false))
+    e2.init(SyntheticPages.seeds(spark, 40, hosts = 2, hotHosts = 1))
+    assert((1 to 5).map(_ => e2.runWave().scheduled) ===
+      Seq(2L, 2L, 2L, 2L, 2L))
+    // the carry table is per-host bounded state, never above waveSeconds
+    val carried = e.budgetT.read(e.budgetSchema)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(carried.length == 2)
+    assert(carried.forall { case (_, c) => c >= 0 && c <= 10 })
+  }
+
   test("offline sidecar compaction drops orphan payloads, keeps the " +
       "logical record intact (ADVICE r05)") {
     val e = newEngine()
