@@ -75,54 +75,70 @@ object DedupScaleBench {
     spark.sparkContext.setCheckpointDir(ckpt)
 
     case class Row(n: Long, tExact: Double, tEdges: Double, edges: Long,
-                   tCc: Double, clusters: Long)
-    val rows = Sizes.map { mult =>
-      val n = BaseN * mult
+                   tCc: Double, clusters: Long, ccRounds: Int)
+    def measure(n: Long, announce: Boolean): Row = {
       val c = corpus(spark, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count() // materialize OUTSIDE the timed windows
+      // noop sink forces the FULL aggregate (a bare count() would let
+      // Catalyst prune min/count and time keys-only grouping)
       val (tExact, _) = timed {
-        c.groupBy(md5(encode(col("text"), "UTF-8")))
-          .agg(min(col("doc_id")), count(lit(1))).count()
+        c.groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+          .write.mode("overwrite").format("noop").save()
       }
-      val (tEdges, edges) = timed {
-        DedupQueries.minhashEdges(c).count()
-      }
+      // edge build timed once, PERSISTED, so the CC window below times
+      // clustering — not a rebuild of the edges it consumes
+      val edgesDf = DedupQueries.minhashEdges(c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tEdges, edges) = timed { edgesDf.count() }
       val (tCc, clusters) = timed {
-        val labels = DedupQueries.connectedComponents(
-          DedupQueries.minhashEdges(c), c.select("doc_id"))
+        val labels =
+          DedupQueries.connectedComponents(edgesDf, c.select("doc_id"))
         labels.select("cluster").distinct().count()
       }
       SparkEntry.releaseCaches(blocking = true)
+      edgesDf.unpersist(blocking = true)
       c.unpersist(blocking = true)
-      println(f"[dedup-scale] n=$n%,d exact=$tExact%.2fs " +
-        f"edges=$tEdges%.2fs ($edges%,d) cc=$tCc%.2fs ($clusters%,d)")
-      Row(n, tExact, tEdges, edges, tCc, clusters)
+      val rounds = DedupQueries.lastCcRounds
+      if (announce)
+        println(f"[dedup-scale] n=$n%,d exact=$tExact%.2fs " +
+          f"edges=$tEdges%.2fs ($edges%,d) cc=$tCc%.2fs " +
+          f"($clusters%,d clusters, $rounds rounds)")
+      Row(n, tExact, tEdges, edges, tCc, clusters, rounds)
     }
+    // one UNTIMED warmup pass: whole-stage-codegen compilation and JIT
+    // land here, not in the 1x row (which would flatter the growth
+    // ratios the artifact exists to prove)
+    measure(BaseN / 10, announce = false)
+    val rows = Sizes.map(mult => measure(BaseN * mult, announce = true))
 
     val sb = new StringBuilder
     sb.append("# Dedup scaling vs corpus size (VERDICT r05 item 6)\n\n")
     sb.append(s"Seeded skewed corpus (one ${HotK}-doc identical " +
       "cluster, 5k near-dup template families, distinct tail), " +
       "local[8], one session, sizes back-to-back.\n\n")
-    sb.append("| docs | exact s | minhash s | edges | cc s | clusters " +
-      "| total s | growth vs prev (size x4) |\n")
-    sb.append("|---|---|---|---|---|---|---|---|\n")
+    sb.append("| docs | exact s | minhash s | edges | cc s | cc rounds " +
+      "| clusters | total s | growth vs prev (size x4) |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
     var prev: Option[Double] = None
     rows.foreach { r =>
       val total = r.tExact + r.tEdges + r.tCc
       val growth = prev.map(p => f"x${total / p}%.2f").getOrElse("-")
       sb.append(f"| ${r.n}%,d | ${r.tExact}%.2f | ${r.tEdges}%.2f " +
-        f"| ${r.edges}%,d | ${r.tCc}%.2f | ${r.clusters}%,d " +
-        f"| $total%.2f | $growth |\n")
+        f"| ${r.edges}%,d | ${r.tCc}%.2f | ${r.ccRounds} " +
+        f"| ${r.clusters}%,d | $total%.2f | $growth |\n")
       prev = Some(total)
     }
     sb.append("\nLinear-growth read: with size x4 per step, a time " +
       "growth factor near (or below) x4 per step evidences the " +
       "claimed ~O(n) dedup family: representative election bounds " +
-      "every bucket, pointer jumping bounds the CC rounds at " +
-      "O(log diameter) (round count is size-independent here), and " +
-      "edge counts grow linearly in docs.\n")
+      "every bucket, edge counts grow linearly in docs, and the CC " +
+      "round count (pointer jumping: O(log diameter)) is " +
+      "size-independent, so the near-FLAT cc wall is rounds x " +
+      "per-round fixed cost (eager checkpoint + one scalar " +
+      "convergence aggregate), which amortizes as data grows -- the " +
+      "shape that survives a 100x scale-up.\n")
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/DEDUP_SCALE.md"), sb.toString)
     println(sb.toString)

@@ -605,8 +605,12 @@ object Multimodal {
   def jpegLevel(docId: Long, bx: Int, by: Int): Int =
     32 + 64 * (((docId + bx + 2L * by) % 4).toInt)
 
-  /** Encode to JPEG at PINNED quantization (explicit 0.9 quality). */
-  def buildJpeg(docId: Long): Array[Byte] = {
+  /** Encode to JPEG at PINNED quantization (explicit 0.9 quality),
+    * through a REUSED writer — the per-partition batch state the
+    * mapPartitions plumbing exists for (service lookup + writer
+    * construction amortize across the whole partition).
+    */
+  def buildJpeg(docId: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
     val w = JpegBlocksX * 8; val h = JpegBlocksY * 8
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -620,8 +624,6 @@ object Multimodal {
       }
       y += 1
     }
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.9f)
@@ -629,8 +631,17 @@ object Multimodal {
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close(); writer.dispose()
+    ios.close()
     bos.toByteArray
+  }
+
+  def newJpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
+  /** Single-shot convenience (specs): own writer per call. */
+  def buildJpeg(docId: Long): Array[Byte] = {
+    val w = newJpegWriter()
+    try buildJpeg(docId, w) finally w.dispose()
   }
 
   final case class JpegRow(doc_id: Long, width: Int, height: Int,
@@ -658,6 +669,9 @@ object Multimodal {
       if ((p(off) & 0xff) != 0xff) return None
       val mk = p(off + 1) & 0xff
       if (mk == 0xc0 || mk == 0xc1 || mk == 0xc2) {
+        // frame header fields reach p(off+9): a payload truncated
+        // mid-SOF is malformed input, not a task-killing exception
+        if (off + 10 > p.length) return None
         val prec = p(off + 4) & 0xff
         sof = Some((be16(off + 5), be16(off + 7), p(off + 9) & 0xff, prec))
       } else if (mk == 0xd9 || mk == 0xda) {
@@ -708,12 +722,17 @@ object Multimodal {
     }
   }
 
-  /** JPEG media table: every doc carries a real 24×16 baseline JPEG. */
+  /** JPEG media table: every doc carries a real 24×16 baseline JPEG,
+    * encoded through ONE writer per partition.
+    */
   def jpegFromDocuments(spark: SparkSession,
                         dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => MediaRow(id, "image", buildJpeg(id))))
+      .mapPartitions { ids =>
+        val writer = newJpegWriter() // per-partition batch state
+        ids.map(id => MediaRow(id, "image", buildJpeg(id, writer)))
+      }
   }
 }

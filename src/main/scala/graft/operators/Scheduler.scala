@@ -58,14 +58,15 @@ object Scheduler {
           carrySecs.cast("double")) /
         politenessWaitSecs(host, waveId, cfg).cast("double")).cast("int"))
 
-  /** Next-wave carry for every host in `hosts` (one row per distinct
-    * host), from the previous carry table and this wave's scheduled
-    * counts: carry' = clamp(waveSeconds + carry − scheduled·wait,
-    * 0, waveSeconds). The clamp bounds per-host state by one full wave
-    * of credit; hosts absent from `hosts` simply drop out (idle time is
-    * not debt). One map-side-combinable count over the (small)
-    * scheduled set plus two host-keyed joins over the distinct-host
-    * relation — O(|active hosts|), never O(|frontier|).
+  /** Next-wave carry for every host in `hosts` (the caller passes the
+    * STILL-PENDING frontier — see the commit-budget site in CrawlWave:
+    * a host with no pending urls must drop out rather than bank credit
+    * while idle), from the previous carry table and this wave's
+    * scheduled counts: carry' = clamp(waveSeconds + carry −
+    * scheduled·wait, 0, waveSeconds). The clamp bounds per-host state
+    * by one full wave of credit. One map-side-combinable count over
+    * the (small) scheduled set plus two host-keyed joins over the
+    * distinct-host relation — O(|hosts with pending urls|) state.
     */
   def nextCarry(hosts: DataFrame, prevCarry: DataFrame,
                 scheduled: DataFrame, waveId: Long,

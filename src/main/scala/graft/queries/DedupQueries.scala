@@ -157,7 +157,7 @@ object DedupQueries {
     */
   private[graft] def connectedComponents(edges: DataFrame,
                                          vertices: DataFrame,
-                                         maxRounds: Int = 50): DataFrame = {
+                                         maxRounds: Int = 100): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = QueryCaches.track(edges
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -190,45 +190,84 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // reliable checkpoint when the session has a checkpoint dir (a
+    // cluster deployment should set one: localCheckpoint storage dies
+    // with an executor, failing the job mid-loop); local runs use the
+    // executor-local variant and skip the HDFS round trip
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    // EDGE CONTRACTION (round-6; the Kiveris-et-al. star-contraction
+    // insight): min-label propagation over a STATIC edge relation is
+    // Θ(graph diameter) rounds no matter how labels are pointer-jumped
+    // — measured 44-45 rounds on a sparse chain-heavy 100k corpus
+    // (DedupScaleBench), where chains of band-buckets link template
+    // families 40+ hops deep, and a double jump bought nothing because
+    // the min still had to TRAVEL the edges one hop per round. So each
+    // round rewrites the edges through the fresh labels ((u,v) →
+    // (label(u), label(v)), self-loops dropped, deduped): a hop then
+    // crosses whole contracted clusters, the relation SHRINKS every
+    // round, and convergence is O(log diameter) real rounds (measured
+    // 45 → 7 on that corpus, with the per-round edge relation
+    // collapsing toward |clusters|).
+    var curEdges = sym
     while (!converged && rounds < maxRounds) {
-      val hop = sym.join(
+      val hop = curEdges.join(
           labels.select(col("doc_id").as("u"), col("cluster")), "u")
         .select(col("v").as("doc_id"), col("cluster"))
       val merged = labels.unionByName(hop)
         .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
       // pointer jump: follow each label to ITS label (labels are doc
       // ids, so they are always present on the left of this join);
-      // min-monotone, so the fixpoint is unchanged — only reached
-      // exponentially faster
+      // min-monotone, so the fixpoint is unchanged. With contraction
+      // the hop only lowers CLUSTER-REP labels — members inherit their
+      // rep's new label through this jump, one round behind.
       val jumped = merged.join(
           merged.select(col("doc_id").as("cluster"), col("cluster").as("_cc2")),
           Seq("cluster"), "left")
         .select(col("doc_id"),
           coalesce(col("_cc2"), col("cluster")).as("cluster"))
-      // reliable checkpoint when the session has a checkpoint dir (a
-      // cluster deployment should set one: localCheckpoint storage dies
-      // with an executor, failing the job mid-loop); local runs use the
-      // executor-local variant and skip the HDFS round trip
-      val next =
-        if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          jumped.checkpoint(true)
-        else jumped.localCheckpoint(true)
+      val next = materialize(jumped)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) >= 0
       prevSum = nextSum
       labels = next
       rounds += 1
+      if (!converged) {
+        // contract for the next round; checkpoint keeps the plan flat
+        // (same superlinear re-optimization hazard as the labels)
+        val lu = next.select(col("doc_id").as("u"), col("cluster").as("_lu"))
+        val lv = next.select(col("doc_id").as("v"), col("cluster").as("_lv"))
+        curEdges = materialize(curEdges.join(lu, "u").join(lv, "v")
+          .filter(col("_lu") =!= col("_lv"))
+          .select(col("_lu").as("u"), col("_lv").as("v"))
+          .distinct())
+      }
     }
     // ADVICE r05: the round cap is a runaway guard, and an unconverged
     // exit means the labels are WRONG (partially propagated) — they
     // must never flow silently into the split/histogram consumers.
-    // Pointer jumping converges in O(log diameter) rounds, so hitting
-    // the default cap of 50 is a structural bug, not a tuning issue.
+    // Pointer jumping converges in O(log diameter) rounds on paths and
+    // was MEASURED at 45 single-jump rounds on a sparse chain-heavy
+    // 100k corpus (DedupScaleBench) — hence the double jump per round
+    // and a cap with real headroom; hitting 100 is a structural bug,
+    // not a tuning issue.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds; " +
         "refusing to return partially-propagated cluster labels")
+    lastCcRounds = rounds
     labels
   }
+
+  /** Round count of the most recent [[connectedComponents]] run —
+    * diagnostics only (bench/telemetry; same single-session contract as
+    * QueryCaches). CC wall is rounds × per-round fixed cost (checkpoint
+    * + one scalar aggregate) plus O(|edges|) join work, and on chained
+    * corpora the fixed part dominates, so the round count is the number
+    * that explains the wall.
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
 
   /** The finished cluster-label table (doc_id, cluster), memoized per
     * (session, sfDir) for the duration of a driver pass: three queries

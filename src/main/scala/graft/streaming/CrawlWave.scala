@@ -82,8 +82,9 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     StructField("url", StringType), StructField("html", BinaryType)))
 
   /** Per-host carried crawl-delay debt ([[SchedulerConfig
-    * .carryBudgetDebt]]): one row per host active in the last wave's
-    * frontier. Bounded by waveSeconds per host; absent host = zero.
+    * .carryBudgetDebt]]): one row per host with urls still PENDING
+    * after the last wave. Bounded by waveSeconds per host; absent
+    * host = zero.
     */
   val budgetSchema: StructType = StructType(Seq(
     StructField("host", StringType), StructField("carrySecs", LongType)))
@@ -418,13 +419,24 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
       phase("commit-articles")(
         articlesT.commitAppend(articles.drop("html")
           .repartition(slots(stats.fetched)), waveId, counters))
-    // Next-wave politeness carry (flagged): distinct frontier hosts ⋈
-    // previous carry ⋈ this wave's scheduled counts — O(|active hosts|)
-    // state, replaced per wave under the same idempotent guard.
-    if (cfg.carryBudgetDebt && budgetT.latest.forall(_.waveId < waveId))
+    // Next-wave politeness carry (flagged): the host set is the
+    // STILL-PENDING frontier after this wave (raw frontier anti-joined
+    // against prior seen AND this wave's delta — the append-only
+    // frontier keeps consumed rows until compaction, and a fully
+    // crawled host must drop out rather than bank waveSeconds of
+    // credit while idle: idle time is not debt). Hosts whose first
+    // urls were DISCOVERED this wave start at zero next wave for the
+    // same reason. State is O(|hosts with pending urls|), replaced per
+    // wave under the same idempotent guard.
+    if (cfg.carryBudgetDebt && budgetT.latest.forall(_.waveId < waveId)) {
+      val seenNowUrls = seen.select("url")
+        .unionByName(newSeen.select("url"))
+      val pendingHosts = frontier.select("url", "host")
+        .join(seenNowUrls, Seq("url"), "left_anti")
       phase("commit-budget")(budgetT.commitReplace(
-        Scheduler.nextCarry(frontier, carry.get, scheduled, waveId, cfg)
+        Scheduler.nextCarry(pendingHosts, carry.get, scheduled, waveId, cfg)
           .repartition(slots(stats.scheduled)), waveId, counters))
+    }
     if (frontierT.latest.forall(_.waveId < waveId)) {
       // Append-only frontier: each wave writes only its newly discovered
       // links — O(delta) IO, never the O(|frontier|) rewrite the
@@ -538,16 +550,20 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     * table), dropping orphans in one O(|sidecar|) pass. Run it BETWEEN
     * crawls, never per wave: per-wave sidecar IO stays O(delta) by
     * design, and the snapshot log keeps prior payload history readable
-    * at earlier snapshot ids until vacuum. Returns rows kept.
+    * at earlier snapshot ids until vacuum. The commit reuses the
+    * CURRENT complete wave id — an arbitrary caller-supplied id above
+    * the crawl's wave counter would make the per-wave commit-html
+    * guard (`latest.waveId < waveId`) refuse every FUTURE payload
+    * commit, silently losing fetched html. Returns rows kept.
     */
-  def compactHtmlSidecar(waveId: Long): Long = {
+  def compactHtmlSidecar(): Long = {
     val live = articlesT.read(articleBaseSchema).select("url")
     val kept = htmlT.read(htmlSchema).dropDuplicates("url")
       .join(live, Seq("url"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = kept.count()
-      htmlT.commitReplace(kept, waveId, Map("html_rows_kept" -> n))
+      htmlT.commitReplace(kept, lastCompleteWave, Map("html_rows_kept" -> n))
       n
     } finally { kept.unpersist(blocking = true); () }
   }

@@ -514,7 +514,7 @@ class CrawlWaveSpec extends SparkTestBase {
     val recordBefore = e.articlesNow()
       .select(col("url"), md5(col("html")).as("h"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val kept = e.compactHtmlSidecar(waveId = 99L)
+    val kept = e.compactHtmlSidecar()
     // every surviving row joins a live article; orphans are gone
     assert(kept == before - orphans,
       s"kept=$kept before=$before orphans=$orphans")
@@ -525,6 +525,13 @@ class CrawlWaveSpec extends SparkTestBase {
       .select(col("url"), md5(col("html")).as("h"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(recordAfter === recordBefore)
+    // compaction commits at the CURRENT wave id, so the crawl resumes
+    // with working sidecar commits: the next wave's payloads land
+    val sidecarRows = e.htmlT.read(e.htmlSchema).count()
+    val s3 = e.runWave()
+    assert(s3.fetched > 0)
+    assert(e.htmlT.read(e.htmlSchema).count() == sidecarRows + s3.fetched,
+      "post-compaction waves must keep committing payloads")
   }
 
   test("post-process chain enriches articles in W1 order") {

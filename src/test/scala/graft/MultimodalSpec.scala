@@ -218,5 +218,11 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(Multimodal.decodeJpeg("JFIF but not really".getBytes).isEmpty)
     assert(Multimodal.decodeJpeg(Multimodal.buildPng(1L, 9, 6)).isEmpty)
+    // truncated mid-SOF (SOI + SOF0 marker, frame header cut off):
+    // must reject as malformed, never throw out of the partition task
+    assert(Multimodal.decodeJpeg(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00,
+      0x08, 0x01, 0x00).map(_.toByte)).isEmpty)
+    val jpg = Multimodal.buildJpeg(9L)
+    assert(Multimodal.decodeJpeg(jpg.take(24)).isEmpty)
   }
 }
