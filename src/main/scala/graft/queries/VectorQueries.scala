@@ -170,6 +170,48 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_lsh_bucket_sizes — the embedding-side SKEW MONITOR (the
+    * q_cluster_sizes analog for sign-LSH): top-20 (label, bucket)
+    * groups by DISTINCT-embedding count, with the raw member count
+    * alongside. After the r06 duplicate collapse, `n_reps` is the
+    * quantity that bounds the rep↔rep bucket join (`n_members` is what
+    * the OLD member-level join paid) — an operator watches this to
+    * catch the residual failure mode: distinct-but-near vectors piling
+    * into one bucket. Two map-side-combinable aggregations + a
+    * TakeOrderedAndProject head; never a pair enumeration.
+    */
+  private def lshBucketSizes(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir)
+    val corpus = base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label")))
+    corpus.groupBy(col("label"), col("embedding"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("bucket", signBucket(col("embedding"), 12))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_reps"), sum(col("m")).as("n_members"))
+      .orderBy(col("n_reps").desc, col("label"), col("bucket"))
+      .limit(20)
+  }
+
+  private val lshBucketSizesSql = {
+    val bucket = (1 to 12)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |grp AS (
+       |  SELECT label, embedding, count(*) AS m
+       |  FROM corpus GROUP BY label, embedding)
+       |SELECT label, $bucket AS bucket,
+       |  count(*) AS n_reps, CAST(sum(m) AS BIGINT) AS n_members
+       |FROM grp GROUP BY 1, 2
+       |ORDER BY n_reps DESC, label, bucket LIMIT 20""".stripMargin
+  }
+
   /** q_vector_norms — per-label embedding stats (norm distribution). */
   private def norms(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
@@ -486,6 +528,7 @@ object VectorQueries {
     QueryDef("q_vector_topk", topk, Some(topkSql)),
     QueryDef("q_vector_lsh", lsh, Some(lshSql)),
     QueryDef("q_vector_norms", norms, Some(normsSql)),
+    QueryDef("q_lsh_bucket_sizes", lshBucketSizes, Some(lshBucketSizesSql)),
     QueryDef("q_embedding_neardup", nearDup, Some(nearDupSql))
   )
 }
