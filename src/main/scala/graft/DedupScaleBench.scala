@@ -107,10 +107,14 @@ object DedupScaleBench {
           f"($clusters%,d clusters, $rounds rounds)")
       Row(n, tExact, tEdges, edges, tCc, clusters, rounds)
     }
-    // one UNTIMED warmup pass: whole-stage-codegen compilation and JIT
-    // land here, not in the 1x row (which would flatter the growth
-    // ratios the artifact exists to prove)
-    measure(BaseN / 10, announce = false)
+    // one UNTIMED warmup pass AT THE FULL BASE SHAPE: whole-stage
+    // codegen compilation and JIT land here, not in the 1x row (which
+    // would flatter the growth ratios the artifact exists to prove).
+    // A smaller warmup would miss the paths that matter — at n ≤ 2·HotK
+    // the corpus is mostly the identical hot cluster, so the template
+    // chains, the multi-round CC loop, and the contraction joins would
+    // first compile inside the 1x timed window.
+    measure(BaseN, announce = false)
     val rows = Sizes.map(mult => measure(BaseN * mult, announce = true))
 
     val sb = new StringBuilder

@@ -629,9 +629,10 @@ object Multimodal {
     param.setCompressionQuality(0.9f)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close()
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -732,6 +733,10 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val writer = newJpegWriter() // per-partition batch state
+        // dispose native writer structures when the TASK ends (covers
+        // both full drains and failures — not just iterator exhaustion)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => writer.dispose()))
         ids.map(id => MediaRow(id, "image", buildJpeg(id, writer)))
       }
   }

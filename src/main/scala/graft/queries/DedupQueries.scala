@@ -139,21 +139,25 @@ object DedupQueries {
     * through any chain of shared buckets, so "one survivor per cluster"
     * becomes a trivial groupBy(cluster) downstream.
     *
-    * Scale shape: each round is one-hop label propagation (an equi-join
-    * of edges × labels plus a map-side-combinable min-aggregation)
-    * FOLLOWED BY a pointer-jump (labels joined with themselves:
-    * d → label(label(d))) — the jump halves remaining chain lengths, so
-    * the loop converges in O(log diameter) rounds even on path-shaped
-    * components (one-hop-only propagation measured 50+ rounds on this
-    * very corpus: the synthetic documents share templates, so cross-band
-    * bucket links form long chains). Every round ends in an EAGER
-    * localCheckpoint: without it the logical plan nests one
-    * union+aggregate+join per round and Catalyst re-optimization blows
-    * up superlinearly (measured 0.7 s → 43 s per round by round 7 at
-    * sf0.001 — a driver-side OOM, not a data problem). Old round RDDs
-    * are reclaimed by the ContextCleaner once dereferenced. The driver
-    * loop's per-round `count()` is a scalar convergence check, never a
-    * data collect; the 50-round cap is a runaway guard only.
+    * Scale shape (round-6 form): each round is one-hop label
+    * propagation over the CONTRACTED edge relation (an equi-join of
+    * edges × labels plus a map-side-combinable min-aggregation), a
+    * pointer-jump (d → label(label(d)) — how members inherit their
+    * rep's fresh label), and then an EDGE CONTRACTION that rewrites
+    * the relation to (label(u), label(v)) with self-loops dropped and
+    * duplicates merged. Contraction is what makes convergence
+    * O(log diameter) in practice: over a STATIC edge set, min labels
+    * travel one hop per round regardless of pointer jumping (measured
+    * 45 rounds on a chain-heavy 100k corpus; 7 with contraction), and
+    * the relation SHRINKS toward |clusters| as rounds proceed. Every
+    * round ends in an EAGER checkpoint of labels AND edges: without it
+    * the logical plan nests one union+aggregate+join per round and
+    * Catalyst re-optimization blows up superlinearly (measured 0.7 s →
+    * 43 s per round by round 7 at sf0.001 — a driver-side OOM, not a
+    * data problem). Old round RDDs are reclaimed by the ContextCleaner
+    * once dereferenced. The per-round label-sum read is a scalar
+    * convergence check, never a data collect; the 100-round cap is a
+    * runaway guard that THROWS rather than return partial labels.
     */
   private[graft] def connectedComponents(edges: DataFrame,
                                          vertices: DataFrame,
@@ -170,13 +174,21 @@ object DedupQueries {
     // propagation round: buckets collapse onto their rep before the
     // loop, saving one full iteration over the edge relation (at web
     // scale a round is a join over the whole edge set).
+    // reliable checkpoint when the session has a checkpoint dir (a
+    // cluster deployment should set one: localCheckpoint storage dies
+    // with an executor, failing the job mid-loop); local runs use the
+    // executor-local variant and skip the HDFS round trip. Applied to
+    // the SEED too — the loop reads it in round 1.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     val seed = edges.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("_rep"))
-    var labels = vertices.join(seed, Seq("doc_id"), "left")
+    var labels = materialize(vertices.join(seed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("_rep"), col("doc_id")))
-          .as("cluster"))
-      .localCheckpoint(true)
+          .as("cluster")))
     // Convergence via the label-sum invariant: labels are min-monotone
     // (every update strictly lowers a label), so the label sum strictly
     // decreases until the fixpoint — one scan-aggregate over the
@@ -190,14 +202,6 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    // reliable checkpoint when the session has a checkpoint dir (a
-    // cluster deployment should set one: localCheckpoint storage dies
-    // with an executor, failing the job mid-loop); local runs use the
-    // executor-local variant and skip the HDFS round trip
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
     // EDGE CONTRACTION (round-6; the Kiveris-et-al. star-contraction
     // insight): min-label propagation over a STATIC edge relation is
     // Θ(graph diameter) rounds no matter how labels are pointer-jumped

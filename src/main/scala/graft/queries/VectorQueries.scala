@@ -90,6 +90,23 @@ object VectorQueries {
     concat((0 until bits).map(i =>
       when(element_at(v, i + 1) > 0f, "1").otherwise("0")): _*)
 
+  /** The duplicate-augmented corpus shared by q_embedding_neardup and
+    * q_lsh_bucket_sizes: every 10th vector duplicated at vec_id +
+    * 100000 so the detectors have true positives at test scale. ONE
+    * recipe, mirrored once in SQL ([[dupCorpusSql]]) — the two queries
+    * must monitor the SAME corpus.
+    */
+  private def dupCorpus(base: DataFrame): DataFrame =
+    base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label")))
+
+  private val dupCorpusSql =
+    """SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding, label
+      |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   /** q_vector_lsh — bucketed ANN: compare only within equal sign-bucket,
     * top-3 per query by (cos desc, id). The 10^8-scale path: one shuffle
     * on the bucket key, no cross join.
@@ -180,29 +197,21 @@ object VectorQueries {
     * into one bucket. Two map-side-combinable aggregations + a
     * TakeOrderedAndProject head; never a pair enumeration.
     */
-  private def lshBucketSizes(s: SparkSession, dir: String): DataFrame = {
-    val base = embeddings(s, dir)
-    val corpus = base.unionByName(base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
-        col("label")))
-    corpus.groupBy(col("label"), col("embedding"))
+  private def lshBucketSizes(s: SparkSession, dir: String): DataFrame =
+    dupCorpus(embeddings(s, dir)).groupBy(col("label"), col("embedding"))
       .agg(count(lit(1)).as("m"))
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .groupBy("label", "bucket")
       .agg(count(lit(1)).as("n_reps"), sum(col("m")).as("n_members"))
       .orderBy(col("n_reps").desc, col("label"), col("bucket"))
       .limit(20)
-  }
 
   private val lshBucketSizesSql = {
     val bucket = (1 to 12)
       .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
     s"""WITH corpus AS (
-       |  SELECT vec_id, embedding, label FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 100000 AS vec_id, embedding, label
-       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |  $dupCorpusSql),
        |grp AS (
        |  SELECT label, embedding, count(*) AS m
        |  FROM corpus GROUP BY label, embedding)
@@ -248,12 +257,8 @@ object VectorQueries {
     * every injected duplicate is connected to its original through the
     * edge set, recall measured and reported.
     */
-  private def nearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = embeddings(s, dir)
-    nearDupFrom(base.unionByName(base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
-        col("label"))))
-  }
+  private def nearDup(s: SparkSession, dir: String): DataFrame =
+    nearDupFrom(dupCorpus(embeddings(s, dir)))
 
   /** Core of q_embedding_neardup over an explicit corpus
     * (VectorDupScaleSpec feeds synthetic hot-bucket corpora).
@@ -305,10 +310,7 @@ object VectorQueries {
       .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
     s"""WITH corpus AS (
-       |  SELECT vec_id, embedding, label FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 100000 AS vec_id, embedding, label
-       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |  $dupCorpusSql),
        |grp AS (
        |  SELECT label, embedding, min(vec_id) AS rep
        |  FROM corpus GROUP BY label, embedding),

@@ -429,10 +429,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     // same reason. State is O(|hosts with pending urls|), replaced per
     // wave under the same idempotent guard.
     if (cfg.carryBudgetDebt && budgetT.latest.forall(_.waveId < waveId)) {
-      val seenNowUrls = seen.select("url")
-        .unionByName(newSeen.select("url"))
-      val pendingHosts = frontier.select("url", "host")
-        .join(seenNowUrls, Seq("url"), "left_anti")
+      // prior-seen side goes through the SAME bloom-pruned anti-join
+      // the scheduler uses (most frontier rows miss the bloom and never
+      // shuffle); only this wave's small delta needs a plain anti-join
+      val pendingHosts = SeenSet
+        .removeSeen(frontier.select("url", "host"), "url", seen, "url",
+          blooms)
+        .join(newSeen.select("url"), Seq("url"), "left_anti")
       phase("commit-budget")(budgetT.commitReplace(
         Scheduler.nextCarry(pendingHosts, carry.get, scheduled, waveId, cfg)
           .repartition(slots(stats.scheduled)), waveId, counters))
