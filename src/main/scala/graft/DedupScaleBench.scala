@@ -11,7 +11,7 @@ import graft.queries.DedupQueries
   * dedup family — exact hash dedupe, MinHash-LSH candidate edges, and
   * connected-components clustering — on seeded synthetic corpora at
   * 1×/4×/16× the base size and report wall-clock growth vs corpus size.
-  * The representative-election + pointer-jumping design claims ~linear
+  * The representative-election + edge-contraction design claims ~linear
   * growth; this measures it instead of asserting it.
   *
   * The corpus is deliberately SKEWED the way web text is:
@@ -138,7 +138,7 @@ object DedupScaleBench {
       "growth factor near (or below) x4 per step evidences the " +
       "claimed ~O(n) dedup family: representative election bounds " +
       "every bucket, edge counts grow linearly in docs, and the CC " +
-      "round count (pointer jumping: O(log diameter)) is " +
+      "round count (edge contraction: O(log diameter)) is " +
       "size-independent, so the near-FLAT cc wall is rounds x " +
       "per-round fixed cost (eager checkpoint + one scalar " +
       "convergence aggregate), which amortizes as data grows -- the " +
