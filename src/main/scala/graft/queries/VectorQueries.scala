@@ -129,11 +129,29 @@ object VectorQueries {
   private def lsh(s: SparkSession, dir: String): DataFrame =
     lshFrom(embeddings(s, dir))._2
 
+  /** All probe buckets of `b` within Hamming radius `radius` (0 → just
+    * b; 1 → b plus the 12 single-bit flips). Multi-probe is the
+    * standard recall lever for LSH: a borderline pair whose one small
+    * component flipped sign lands one bit away, so probing radius-1
+    * buckets recovers it at 13× probe cost per QUERY (queries are the
+    * N/100 sample; the big candidate side still shuffles once).
+    */
+  private def probeBuckets(b: Column, bits: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 1, "radius 0 or 1 supported")
+    val flips = (1 to bits).map { i =>
+      concat(substring(b, 1, i - 1),
+        when(substring(b, i, 1) === "1", "0").otherwise("1"),
+        substring(b, i + 1, bits - i))
+    }
+    array((b +: (if (radius == 1) flips else Nil)): _*)
+  }
+
   /** Core of q_vector_lsh over an explicit corpus; returns
     * (pre-rank candidate rows, final result) so scale specs can count
-    * candidates directly.
+    * candidates directly. `radius` = Hamming probe radius (multi-probe).
     */
-  private[graft] def lshFrom(e0: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def lshFrom(e0: DataFrame,
+                             radius: Int = 0): (DataFrame, DataFrame) = {
     // duplicate-group collapse: rep = min vec_id, plus the 4 smallest
     // member ids (bounded state: running row_number, then a ≤4-element
     // collect per group)
@@ -145,11 +163,15 @@ object VectorQueries {
       .agg(sort_array(collect_list(col("vec_id"))).as("m4"))
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .withColumn("nrm", norm(col("embedding")))
+    // each query probes its own bucket (+ neighbors at radius 1);
+    // a rep lives in exactly ONE bucket and probes are distinct, so no
+    // candidate dedup is needed after the join
     val q = e0.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), 12))
+      .withColumn("bucket",
+        explode(probeBuckets(signBucket(col("qv"), 12), 12, radius)))
       .withColumn("qnrm", norm(col("qv")))
-    // one cosine per (query, DISTINCT embedding) in the bucket
+    // one cosine per (query, DISTINCT embedding) in the probed buckets
     val cand = reps.join(q, Seq("bucket"))
       .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
         col("qnrm"), col("nrm")), 6))
@@ -219,6 +241,48 @@ object VectorQueries {
        |  count(*) AS n_reps, CAST(sum(m) AS BIGINT) AS n_members
        |FROM grp GROUP BY 1, 2
        |ORDER BY n_reps DESC, label, bucket LIMIT 20""".stripMargin
+  }
+
+  /** q_vector_lsh_multiprobe — the RECALL lever on the bucketed ANN:
+    * each query probes its own sign bucket plus the 12 buckets at
+    * Hamming distance 1, recovering the borderline neighbors whose one
+    * small component flipped sign (the recall single-bucket sign-LSH
+    * trades away — VectorRecallSpec measures the ladder). Same
+    * duplicate-collapsed candidate side as q_vector_lsh: probe cost is
+    * 13× per QUERY (the N/100 sample), the corpus still shuffles once.
+    * The oracle mirrors the member-level multi-probe formulation (the
+    * collapse is row-identical, spec-proven for the shared core).
+    */
+  private def lshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    lshFrom(embeddings(s, dir), radius = 1)._2
+
+  private val lshMultiprobeSql = {
+    val bucket = (1 to 12)
+      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    val flips = (1 to 12).map { i =>
+      s"""concat(substr(bucket, 1, ${i - 1}),
+         |    CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+         |    substr(bucket, ${i + 1}, ${12 - i}))""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH b AS (SELECT *, $bucket AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+       |      FROM b WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT query_id, qv, unnest([bucket,
+       |  $flips]) AS bucket FROM q)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT p.query_id, e.vec_id AS neighbor_id,
+       |      round(list_inner_product(CAST(p.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+       |        (sqrt(list_inner_product(CAST(p.qv AS DOUBLE[]), CAST(p.qv AS DOUBLE[]))) *
+       |         sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+       |    FROM probes p JOIN b e USING (bucket)
+       |    WHERE e.vec_id <> p.query_id))
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   /** q_vector_norms — per-label embedding stats (norm distribution). */
@@ -529,6 +593,7 @@ object VectorQueries {
     QueryDef("q_vector_ivf", ivf, Some(ivfSql)),
     QueryDef("q_vector_topk", topk, Some(topkSql)),
     QueryDef("q_vector_lsh", lsh, Some(lshSql)),
+    QueryDef("q_vector_lsh_multiprobe", lshMultiprobe, Some(lshMultiprobeSql)),
     QueryDef("q_vector_norms", norms, Some(normsSql)),
     QueryDef("q_lsh_bucket_sizes", lshBucketSizes, Some(lshBucketSizesSql)),
     QueryDef("q_embedding_neardup", nearDup, Some(nearDupSql))
