@@ -217,6 +217,133 @@ object TextQueries {
       |FROM base b LEFT JOIN top USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q_line_dedup — C4/RefinedWeb-style LINE-level dedup across the
+    * corpus: any sentence that occurs more than once in the WHOLE
+    * dataset is dropped from every document (C4 §2.2 "we removed any
+    * line that appeared more than once"; boilerplate navigation/footer
+    * sentences are the target). Sentences come from the punkt-lite
+    * tokenizer ([[graft.functions.SentenceSplit]] — this corpus has no
+    * newlines), so the line key is deterministic in both engines.
+    *
+    * Scale shape: explode → ONE map-side-combinable count per distinct
+    * line → the DUPLICATED lines only (a tiny fraction of distinct
+    * lines) join back as the BUILD side of a left join — the non-dup
+    * majority never matches — then a doc-keyed aggregation reassembles
+    * the kept text in original order. No full-text self-join anywhere.
+    *
+    * The synthetic docs are single unique sentences, so the corpus is
+    * deterministically augmented (mirrored in the oracle): every 3rd
+    * doc gains the SAME boilerplate sentence — the newsletter-footer
+    * shape this filter exists for, dropped from all of them — and
+    * every doc gains a unique per-doc sentence that must survive.
+    */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(". Subscribe to our newsletter for daily market updates"))
+        .otherwise(lit("")),
+      lit(". Story reference code "), col("doc_id").cast("string"),
+      lit(" ends here"))
+    val lines = documents(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.SentenceSplit.sentences(col("t")))
+          .as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val dups = lines.groupBy("line").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("line"), lit(true).as("_dup"))
+    lines.join(dups, Seq("line"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("|", transform(
+          array_sort(collect_list(when(col("_dup").isNull,
+            struct(col("pos"), col("line"))).otherwise(null))),
+          x => x.getField("line"))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql = {
+    val sentList = graft.functions.SentenceSplit.duckSentences("text")
+    s"""WITH aug AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      '. Subscribe to our newsletter for daily market updates'
+       |    ELSE '' END,
+       |    '. Story reference code ', CAST(doc_id AS VARCHAR),
+       |    ' ends here') AS text
+       |  FROM documents),
+       |sls AS (
+       |  SELECT doc_id, $sentList AS ss FROM aug),
+       |lines AS (
+       |  SELECT doc_id, CAST(t.i AS INT) AS pos,
+       |    ss[CAST(t.i AS INT)] AS line
+       |  FROM sls, UNNEST(generate_series(1, len(ss))) AS t(i)
+       |  WHERE length(ss[CAST(t.i AS INT)]) > 0),
+       |dups AS (
+       |  SELECT line, true AS dup FROM lines
+       |  GROUP BY line HAVING count(*) > 1)
+       |SELECT doc_id,
+       |  count(*) AS n_lines,
+       |  CAST(coalesce(sum(CASE WHEN dup THEN 1 END), 0) AS BIGINT)
+       |    AS n_dropped,
+       |  coalesce(string_agg(line, '|' ORDER BY pos)
+       |    FILTER (WHERE dup IS NULL), '') AS kept_text
+       |FROM lines LEFT JOIN dups USING (line)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_pii_scrub — PII redaction (the RefinedWeb-style scrub step every
+    * released web corpus runs): emails and US-shaped phone numbers are
+    * counted and replaced with typed placeholder tokens, scan-local
+    * (two regexp passes inside the scan span, no shuffle until the
+    * final ORDER BY). The synthetic corpus carries no PII, so every
+    * 7th document is deterministically augmented with an email + phone
+    * derived from doc_id — mirrored in the oracle — giving the scrubber
+    * true positives at every SF; the patterns use only syntax with
+    * identical semantics in Java regex and RE2.
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-1234 now")))
+      .otherwise(col("text"))
+    documents(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+       |        '@example.com or 555-',
+       |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+       |        '-1234 now')
+       |    ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT)
+       |    AS n_phones,
+       |  regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   /** q_dedup_exact — exact dedupe by content hash (hash-groupBy): one
     * keeper (min doc_id) per md5(text); md5 is identical across engines.
     */
@@ -314,6 +441,8 @@ object TextQueries {
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_line_dedup", lineDedup, Some(lineDedupSql)),
+    QueryDef("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q_source_rollup", sourceRollup, Some(sourceRollupSql))
   )
 }
