@@ -244,11 +244,16 @@ object TextQueries {
         .otherwise(lit("")),
       lit(". Story reference code "), col("doc_id").cast("string"),
       lit(" ends here"))
-    val lines = documents(s, dir).select(col("doc_id"), aug.as("t"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.SentenceSplit.sentences(col("t")))
-          .as(Seq("pos", "line")))
-      .filter(length(col("line")) > 0)
+    // the regex-heavy tokenized relation feeds BOTH the global count
+    // and the join probe side — persist it once (the shingle-relation
+    // precedent; released by SparkEntry.releaseCaches)
+    val lines = QueryCaches.track(
+      documents(s, dir).select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.SentenceSplit.sentences(col("t")))
+            .as(Seq("pos", "line")))
+        .filter(length(col("line")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dups = lines.groupBy("line").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .select(col("line"), lit(true).as("_dup"))

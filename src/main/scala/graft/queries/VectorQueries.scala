@@ -47,6 +47,20 @@ object VectorQueries {
   private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** The 12-bit sign-bucket expression and the rounded sequential
+    * cosine, in DuckDB SQL — ONE definition each; every vector oracle
+    * interpolates these so an engine-side convention change (bucket
+    * width, rounding) cannot silently desynchronize one oracle.
+    */
+  private val bucketSql: String = (1 to 12)
+    .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
+    .mkString("concat(", ", ", ")")
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) /
+       |        (sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+       |         sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+
   /** q_vector_topk — brute-force cosine top-5 neighbors for every 100th
     * vector (the exact-rerank baseline). Query side is tiny → broadcast;
     * candidates stream by; no shuffle until the final per-query window
@@ -70,15 +84,13 @@ object VectorQueries {
   }
 
   private val topkSql =
-    """SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+    s"""SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
       |  SELECT query_id, neighbor_id, cos,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM (
       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |      round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-      |        (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-      |         sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+      |      ${cosSql("q.embedding", "e.embedding")} AS cos
       |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
       |    WHERE q.vec_id % 100 = 0))
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
@@ -165,12 +177,16 @@ object VectorQueries {
       .withColumn("nrm", norm(col("embedding")))
     // each query probes its own bucket (+ neighbors at radius 1);
     // a rep lives in exactly ONE bucket and probes are distinct, so no
-    // candidate dedup is needed after the join
+    // candidate dedup is needed after the join. qnrm and the base
+    // bucket bind as columns BEFORE the explode so the O(dim) norm fold
+    // and the 12-branch sign concat run once per QUERY, not once per
+    // probe row.
     val q = e0.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .withColumn("bucket",
-        explode(probeBuckets(signBucket(col("qv"), 12), 12, radius)))
       .withColumn("qnrm", norm(col("qv")))
+      .withColumn("_b0", signBucket(col("qv"), 12))
+      .withColumn("bucket", explode(probeBuckets(col("_b0"), 12, radius)))
+      .drop("_b0")
     // one cosine per (query, DISTINCT embedding) in the probed buckets
     val cand = reps.join(q, Seq("bucket"))
       .withColumn("cos", round(cosPre(col("qv"), col("embedding"),
@@ -191,18 +207,14 @@ object VectorQueries {
   }
 
   private val lshSql = {
-    val bucket = (1 to 12)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
+    val bucket = bucketSql
     s"""SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
        |  SELECT query_id, neighbor_id,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM (
        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |      round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-       |        (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-       |         sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+       |      ${cosSql("q.embedding", "e.embedding")} AS cos
        |    FROM (SELECT *, $bucket AS bucket FROM embeddings) q
        |    JOIN (SELECT *, $bucket AS bucket FROM embeddings) e USING (bucket)
        |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id))
@@ -229,9 +241,7 @@ object VectorQueries {
       .limit(20)
 
   private val lshBucketSizesSql = {
-    val bucket = (1 to 12)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
+    val bucket = bucketSql
     s"""WITH corpus AS (
        |  $dupCorpusSql),
        |grp AS (
@@ -257,9 +267,7 @@ object VectorQueries {
     lshFrom(embeddings(s, dir), radius = 1)._2
 
   private val lshMultiprobeSql = {
-    val bucket = (1 to 12)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
+    val bucket = bucketSql
     val flips = (1 to 12).map { i =>
       s"""concat(substr(bucket, 1, ${i - 1}),
          |    CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END,
@@ -277,9 +285,7 @@ object VectorQueries {
        |      ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM (
        |    SELECT p.query_id, e.vec_id AS neighbor_id,
-       |      round(list_inner_product(CAST(p.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
-       |        (sqrt(list_inner_product(CAST(p.qv AS DOUBLE[]), CAST(p.qv AS DOUBLE[]))) *
-       |         sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+       |      ${cosSql("p.qv", "e.embedding")} AS cos
        |    FROM probes p JOIN b e USING (bucket)
        |    WHERE e.vec_id <> p.query_id))
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
@@ -370,9 +376,7 @@ object VectorQueries {
   }
 
   private val nearDupSql = {
-    val bucket = (1 to 12)
-      .map(i => s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
+    val bucket = bucketSql
     s"""WITH corpus AS (
        |  $dupCorpusSql),
        |grp AS (
@@ -388,14 +392,10 @@ object VectorQueries {
        |         FROM grp),
        |cross_reps AS (
        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-       |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-       |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
        |  FROM reps a JOIN reps b
        |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-       |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-       |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.95)
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95)
        |SELECT label, id_a, id_b, cos FROM intra
        |UNION ALL
        |SELECT label, id_a, id_b, cos FROM cross_reps
