@@ -779,7 +779,96 @@ object DedupQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q_corpus_curation — the CAPSTONE keep/drop decision a training-data
+    * pipeline actually ships: one row per corpus doc with the whole
+    * filter chain's verdicts —
+    *   is_exact_keeper: doc is the min-id of its md5(text) group;
+    *   is_cluster_rep:  doc is its near-dup CLUSTER's representative
+    *                    (label = component min, so rep ⇔ id = label;
+    *                    implies is_exact_keeper — exact dups are
+    *                    connected — but both are reported);
+    *   quality_keep / lang_keep: the EXACT q_quality_score / q_lang_id
+    *                    gates (shared expressions, so the capstone can
+    *                    never drift from the individual monitors);
+    *   keep = all of the above.
+    * Scale shape: gates are scan-local; the exact-keeper side is one
+    * map-side-combinable agg joined back on the hash; cluster labels
+    * come from the memoized contraction loop — no new shuffle shapes.
+    */
+  private def curation(s: SparkSession, dir: String): DataFrame = {
+    val base = corpus(s, dir)
+    // the shared dedup corpus has NO byte-identical pairs (the +100000
+    // copies are mutated), which would leave is_exact_keeper vacuously
+    // true — so the capstone corpus adds EXACT copies of every 20th
+    // base doc at +200000 (mirrored in the oracle). A copy's cluster
+    // label resolves through its SOURCE id (same text ⇒ same cluster;
+    // the copy can never be the rep since source id < copy id).
+    val c = base.unionByName(base
+      .filter(col("doc_id") < 100000 && col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+        col("source")))
+    val labels = ccLabels(s, dir)
+    val keepers = c
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("_h"))
+      .agg(min(col("doc_id")).as("_keeper"))
+    val t = col("text")
+    val nChars = length(t).cast("bigint")
+    val nTokens = size(split(t, " ")).cast("bigint")
+    val meanTokLenX100 =
+      floor((nChars * 100).cast("double") / nTokens.cast("double"))
+        .cast("bigint")
+    val hits = TextQueries.stopHits(t)
+    val qualityKeep = nChars.between(100, 20000) &&
+      meanTokLenX100.between(200, 1200) && hits > 0
+    val langKeep = hits * 100 >= nTokens * 2
+    c.withColumn("_h", md5(encode(col("text"), "UTF-8")))
+      .withColumn("_lk", when(col("doc_id") >= 200000,
+        col("doc_id") - 200000).otherwise(col("doc_id")))
+      .join(keepers, "_h")
+      .join(labels.select(col("doc_id").as("_lk"), col("cluster")), "_lk")
+      .select(col("doc_id"),
+        (col("doc_id") === col("_keeper")).as("is_exact_keeper"),
+        (col("doc_id") === col("cluster")).as("is_cluster_rep"),
+        qualityKeep.as("quality_keep"),
+        langKeep.as("lang_keep"),
+        ((col("doc_id") === col("_keeper")) &&
+          (col("doc_id") === col("cluster")) &&
+          qualityKeep && langKeep).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val curationSql = {
+    val hits = TextQueries.stopAlternationSql
+    val quality = s"""(length(text) BETWEEN 100 AND 20000
+       |    AND (CAST(length(text) AS BIGINT) * 100 // CAST(len(string_split(text, ' ')) AS BIGINT)) BETWEEN 200 AND 1200
+       |    AND ($hits) > 0)""".stripMargin
+    val lang = s"(($hits) * 100 >= len(string_split(text, ' ')) * 2)"
+    s"""$ccLabelsCtes,
+       |curcorpus AS (
+       |  SELECT doc_id, text, source FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text, source FROM corpus
+       |  WHERE doc_id < 100000 AND doc_id % 20 = 0),
+       |keepers AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS keeper
+       |  FROM curcorpus GROUP BY 1)
+       |SELECT c.doc_id,
+       |  (c.doc_id = k.keeper) AS is_exact_keeper,
+       |  (c.doc_id = l.cluster) AS is_cluster_rep,
+       |  $quality AS quality_keep,
+       |  $lang AS lang_keep,
+       |  (c.doc_id = k.keeper AND c.doc_id = l.cluster
+       |   AND $quality AND $lang) AS keep
+       |FROM curcorpus c
+       |JOIN keepers k ON md5(c.text) = k.h
+       |JOIN labels l ON l.doc_id =
+       |  CASE WHEN c.doc_id >= 200000 THEN c.doc_id - 200000
+       |       ELSE c.doc_id END
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corpus_curation", curation, Some(curationSql)),
     QueryDef("q_dedup_reference", referenceDedup, Some(referenceDedupSql)),
     QueryDef("q_dedup_minhash", minhash, Some(minhashSql)),
     QueryDef("q_dedup_incremental", incrementalDedup, Some(incrementalSql)),

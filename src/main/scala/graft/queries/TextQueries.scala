@@ -87,11 +87,14 @@ object TextQueries {
     */
   private val enStops = graft.functions.TopTermsExpr.enStops
   private val stopAlternation = enStops.mkString("\\b(?:", "|", ")\\b")
-  private def stopHits(text: Column): Column =
+  // package-visible: the corpus-curation capstone (DedupQueries) reuses
+  // the SAME gate expressions so its keep decision can never drift from
+  // q_quality_score / q_lang_id
+  private[queries] def stopHits(text: Column): Column =
     size(regexp_extract_all(text, lit(stopAlternation), lit(0)))
       .cast("bigint")
   /** The same alternation for the DuckDB mirror. */
-  private val stopAlternationSql =
+  private[queries] val stopAlternationSql =
     s"len(regexp_extract_all(text, '$stopAlternation'))"
 
   /** q_lang_id — n-gram/stopword heuristic language scorer: score = en
