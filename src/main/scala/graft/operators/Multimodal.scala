@@ -28,6 +28,23 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Document ids spread across the session's full parallelism. The
+    * documents table is ONE small parquet file, so its raw scan is a
+    * single task — and every codec build/decode downstream would run
+    * serially on one core (measured: the whole JPEG encode+decode pass
+    * on 1 of 32 cores). Repartitioning just the 8-byte ids — never any
+    * payload — spreads the per-row codec work across every core for one
+    * tiny shuffle (guide §2.6/§6: input splits bound scan parallelism;
+    * repartition right after a too-coarse read). defaultParallelism is
+    * scale-adaptive: local[n] → n, a cluster → total executor cores.
+    */
+  private def docIds(spark: SparkSession, dir: String): Dataset[Long] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Deterministic stand-in for codecs absent from this container
     * (WebP, MP3, H.264, ...): byte histogram moments folded into
     * FeatureDim floats + fake dimensions from the header. Formats the
@@ -209,8 +226,7 @@ object Multimodal {
     */
   def bmpFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map(id => MediaRow(id, "image", buildBmp24(id, 7, 5))))
   }
 
@@ -322,8 +338,7 @@ object Multimodal {
     */
   def wavFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map { id =>
         MediaRow(id, "audio", buildWavPcm16(id,
           frames = 50 + (id % 50).toInt,
@@ -474,8 +489,7 @@ object Multimodal {
   /** AVI media table from documents: 5×4 frames, 3-5 frames per doc. */
   def aviFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map(id =>
         MediaRow(id, "video", buildAvi(id, 3 + (id % 3).toInt, 5, 4))))
   }
@@ -485,7 +499,11 @@ object Multimodal {
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // same single-file-scan parallelism fix as [[docIds]]: spread the
+    // rows before the per-row decode downstream (payloads here ARE the
+    // text bytes, so they move through this one shuffle regardless)
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
@@ -588,8 +606,7 @@ object Multimodal {
   /** PNG media table: every doc carries a real 9×6 RGB PNG. */
   def pngFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions(_.map(id => MediaRow(id, "image", buildPng(id, 9, 6))))
   }
 
@@ -729,8 +746,7 @@ object Multimodal {
   def jpegFromDocuments(spark: SparkSession,
                         dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    docIds(spark, dir)
       .mapPartitions { ids =>
         val writer = newJpegWriter() // per-partition batch state
         // dispose native writer structures when the TASK ends (covers

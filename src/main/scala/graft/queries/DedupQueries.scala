@@ -106,26 +106,39 @@ object DedupQueries {
     * side to |buckets| rows before it ever shuffles.
     */
   /** (doc_id, band, sig) LSH band rows. ONE digest per shingle
-    * occurrence, bound as a real column so the four slice-minima share
-    * it; all 4 band minima in ONE map-side-combinable aggregation pass
-    * (no shingle×band cross join — that quadruples the shuffle volume),
-    * then stack() unpivots to (band, sig).
+    * occurrence; round-7 (guide §2.4 — remove shuffles outright): the
+    * four slice-minima are now SCAN-LOCAL array folds (`transform` to
+    * the per-gram digests, bound once as a real column — CollapseProject
+    * keeps a non-cheap alias referenced four times un-inlined — then
+    * four `array_min` passes over it), replacing the explode of every
+    * shingle occurrence plus the doc-keyed aggregation exchange the
+    * round-6 form paid. Same minima — min over occurrences ≡ min over
+    * the array — and a doc too short for any shingle yields NULL minima,
+    * filtered to match the old form (no exploded rows ⇒ no band rows).
+    * stack() unpivots to (band, sig).
     */
   private def bandSigs(c: DataFrame): DataFrame = {
-    val sh = shingles(c)
-    val sigs = sh.withColumn("_h", md5(col("shingle"))).groupBy("doc_id").agg(
-      min(substring(col("_h"), 1, 8)).as("s0"),
-      min(substring(col("_h"), 9, 8)).as("s1"),
-      min(substring(col("_h"), 17, 8)).as("s2"),
-      min(substring(col("_h"), 25, 8)).as("s3"))
-    sigs.select(col("doc_id"),
-      expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
+    val withH = withGrams(c, distinct = false)
+      .withColumn("_h", transform(col("_grams"), g => md5(g)))
+    def bandMin(i: Int) = array_min(transform(col("_h"),
+      h => substring(h, i * 8 + 1, 8))).as(s"s$i")
+    withH.select(col("doc_id"), bandMin(0), bandMin(1), bandMin(2), bandMin(3))
+      .select(col("doc_id"),
+        expr("stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (band, sig)"))
+      .filter(col("sig").isNotNull)
   }
 
+  /** Candidate edges by representative election. Round-7: the rep per
+    * (band, sig) bucket comes from ONE window pass (min over the bucket
+    * partition) instead of the groupBy + join-back — with the band rows
+    * now scan-local, the join form would recompute the whole gram+md5
+    * scan on both join inputs, and the window needs one exchange where
+    * agg+join needed two.
+    */
   private[graft] def minhashEdges(c: DataFrame): DataFrame = {
-    val bands = bandSigs(c)
-    val reps = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("doc_a"))
-    bands.join(reps, Seq("band", "sig"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    bandSigs(c).withColumn("doc_a", min(col("doc_id")).over(wB))
       .filter(col("doc_id") > col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
   }
@@ -162,11 +175,30 @@ object DedupQueries {
   private[graft] def connectedComponents(edges: DataFrame,
                                          vertices: DataFrame,
                                          maxRounds: Int = 100): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = QueryCaches.track(edges
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(lvl))
+    // Round-7 restructure (guide §2.3/§2.4 — shuffle fewer bytes, and
+    // never rescan what cannot change): the round-6 loop re-materialized
+    // and re-aggregated the FULL N-row label table every round even
+    // though, after the star-collapse seed, only CLUSTER-REP labels can
+    // still move. The loop now runs entirely on the CONTRACTED graph —
+    // vertices = distinct seed labels that touch a cross-star edge,
+    // a set that starts ≪ N and SHRINKS toward zero — and the N-row
+    // relation is touched exactly three times total: the seed (one agg +
+    // one join), the initial contraction (two joins through the seed
+    // mapping), and one final resolve join against the tiny converged
+    // rep-label table. Convergence is the contracted relation running
+    // EMPTY (an edge surviving contraction ⇔ some label must still
+    // move, so emptiness ⇔ fixpoint — exact, no confirming round),
+    // replacing the per-round decimal label-sum scan over all N labels
+    // with a take(1) probe of an already-materialized, shrinking frame.
+    //
+    // reliable checkpoint when the session has a checkpoint dir (a
+    // cluster deployment should set one: localCheckpoint storage dies
+    // with an executor, failing the job mid-loop); local runs use the
+    // executor-local variant and skip the HDFS round trip.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
     // Seed: star-collapse the rep edges in ONE aggregation — every
     // member's label starts at its minimum incident representative
     // (doc_a < doc_b by construction), isolated docs at their own id.
@@ -174,94 +206,135 @@ object DedupQueries {
     // propagation round: buckets collapse onto their rep before the
     // loop, saving one full iteration over the edge relation (at web
     // scale a round is a join over the whole edge set).
-    // reliable checkpoint when the session has a checkpoint dir (a
-    // cluster deployment should set one: localCheckpoint storage dies
-    // with an executor, failing the job mid-loop); local runs use the
-    // executor-local variant and skip the HDFS round trip. Applied to
-    // the SEED too — the loop reads it in round 1.
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(true)
-      else df.localCheckpoint(true)
     val seed = edges.groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("_rep"))
-    var labels = materialize(vertices.join(seed, Seq("doc_id"), "left")
+    val base = materialize(vertices.join(seed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("_rep"), col("doc_id")))
           .as("cluster")))
-    // Convergence via the label-sum invariant: labels are min-monotone
-    // (every update strictly lowers a label), so the label sum strictly
-    // decreases until the fixpoint — one scan-aggregate over the
-    // checkpointed relation per round, instead of the |V|⋈|V| shuffle
-    // join + count the old changed-row check paid. decimal(38,0)
-    // cannot overflow any realistic id space (10^10 docs × 2^63 max id
-    // ≈ 10^29 « 10^38), so equal sums ⇔ no label moved.
-    def labelSum(df: DataFrame): java.math.BigDecimal = Option(df
-      .agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var converged = false
+    // Initial EDGE CONTRACTION through the seed labels (round-6; the
+    // Kiveris-et-al. star-contraction insight): min-label propagation
+    // over a STATIC edge relation is Θ(graph diameter) rounds no matter
+    // how labels are pointer-jumped — measured 44-45 rounds on a sparse
+    // chain-heavy 100k corpus (DedupScaleBench), where chains of
+    // band-buckets link template families 40+ hops deep. Rewriting the
+    // edges through the fresh labels ((u,v) → (label(u), label(v)),
+    // self-loops dropped, deduped) makes each hop cross whole contracted
+    // clusters and the relation SHRINK every round: convergence is
+    // O(log diameter) real rounds (measured 45 → 7 on that corpus).
+    // Contraction preserves reachability among the seed labels, and the
+    // component minimum m keeps s(m) = m (m never appears as a doc_b),
+    // so the contracted graph's component minima ARE the original ones.
+    val sym = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val lu0 = base.select(col("doc_id").as("u"), col("cluster").as("_lu"))
+    val lv0 = base.select(col("doc_id").as("v"), col("cluster").as("_lv"))
+    var curEdges = materialize(sym.join(lu0, "u").join(lv0, "v")
+      .filter(col("_lu") =!= col("_lv"))
+      .select(col("_lu").as("u"), col("_lv").as("v"))
+      .distinct())
+    // Rep-label table over the contracted endpoints only. It starts
+    // EMPTY (conceptually identity): round 1's merge special-cases the
+    // identity labels into a plain star-collapse aggregation over the
+    // contracted relation, saving the identity-table checkpoint and the
+    // round-1 hop join outright.
+    var labels: DataFrame = null
+    var converged = curEdges.isEmpty
     var rounds = 0
-    // EDGE CONTRACTION (round-6; the Kiveris-et-al. star-contraction
-    // insight): min-label propagation over a STATIC edge relation is
-    // Θ(graph diameter) rounds no matter how labels are pointer-jumped
-    // — measured 44-45 rounds on a sparse chain-heavy 100k corpus
-    // (DedupScaleBench), where chains of band-buckets link template
-    // families 40+ hops deep, and a double jump bought nothing because
-    // the min still had to TRAVEL the edges one hop per round. So each
-    // round rewrites the edges through the fresh labels ((u,v) →
-    // (label(u), label(v)), self-loops dropped, deduped): a hop then
-    // crosses whole contracted clusters, the relation SHRINKS every
-    // round, and convergence is O(log diameter) real rounds (measured
-    // 45 → 7 on that corpus, with the per-round edge relation
-    // collapsing toward |clusters|).
-    var curEdges = sym
     while (!converged && rounds < maxRounds) {
-      val hop = curEdges.join(
-          labels.select(col("doc_id").as("u"), col("cluster")), "u")
-        .select(col("v").as("doc_id"), col("cluster"))
-      val merged = labels.unionByName(hop)
-        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+      // hop minimum per target vertex, merged into the label table via
+      // a LEFT join + least() — equivalent to a union+min over
+      // (labels ∪ hop) but with the aggregation BEFORE the merge (the
+      // map-side-combinable shape), and with no Union node: a union
+      // whose branches share attribute ids trips constraint rewriting
+      // ("key not found" in the child attribute map) once the branches
+      // derive from the same checkpointed frame
+      val merged =
+        if (labels == null)
+          // identity labels ⇒ hop min is just min(u) per v, and every
+          // endpoint appears on the v side (the relation is symmetric):
+          // one aggregation, no join
+          curEdges.groupBy(col("v").as("doc_id"))
+            .agg(min(col("u")).as("_hmin"))
+            .select(col("doc_id"),
+              least(col("doc_id"), col("_hmin")).as("cluster"))
+        else {
+          val hopMin = curEdges.join(
+              labels.select(col("doc_id").as("u"), col("cluster").as("_lu")),
+              "u")
+            .groupBy(col("v").as("doc_id")).agg(min(col("_lu")).as("_hmin"))
+          labels.join(hopMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("_hmin"), col("cluster")))
+                .as("cluster"))
+        }
       // pointer jump: follow each label to ITS label (labels are doc
       // ids, so they are always present on the left of this join);
-      // min-monotone, so the fixpoint is unchanged. With contraction
-      // the hop only lowers CLUSTER-REP labels — members inherit their
-      // rep's new label through this jump, one round behind.
+      // min-monotone, so the fixpoint is unchanged.
       val jumped = merged.join(
           merged.select(col("doc_id").as("cluster"), col("cluster").as("_cc2")),
           Seq("cluster"), "left")
         .select(col("doc_id"),
           coalesce(col("_cc2"), col("cluster")).as("cluster"))
-      val next = materialize(jumped)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) >= 0
-      prevSum = nextSum
-      labels = next
+      labels = materialize(jumped)
+      // contract for the next round; checkpoint keeps the plan flat
+      // (the same superlinear re-optimization hazard as the labels —
+      // measured 0.7 s → 43 s per round by round 7 at sf0.001 when the
+      // logical plan was allowed to nest)
+      val lu = labels.select(col("doc_id").as("u"), col("cluster").as("_lu"))
+      val lv = labels.select(col("doc_id").as("v"), col("cluster").as("_lv"))
+      curEdges = materialize(curEdges.join(lu, "u").join(lv, "v")
+        .filter(col("_lu") =!= col("_lv"))
+        .select(col("_lu").as("u"), col("_lv").as("v"))
+        .distinct())
+      converged = curEdges.isEmpty
       rounds += 1
-      if (!converged) {
-        // contract for the next round; checkpoint keeps the plan flat
-        // (same superlinear re-optimization hazard as the labels)
-        val lu = next.select(col("doc_id").as("u"), col("cluster").as("_lu"))
-        val lv = next.select(col("doc_id").as("v"), col("cluster").as("_lv"))
-        curEdges = materialize(curEdges.join(lu, "u").join(lv, "v")
-          .filter(col("_lu") =!= col("_lv"))
-          .select(col("_lu").as("u"), col("_lv").as("v"))
-          .distinct())
-      }
     }
     // ADVICE r05: the round cap is a runaway guard, and an unconverged
     // exit means the labels are WRONG (partially propagated) — they
     // must never flow silently into the split/histogram consumers.
-    // Pointer jumping converges in O(log diameter) rounds on paths and
-    // was MEASURED at 45 single-jump rounds on a sparse chain-heavy
-    // 100k corpus (DedupScaleBench) — hence the double jump per round
-    // and a cap with real headroom; hitting 100 is a structural bug,
-    // not a tuning issue.
+    // Hitting the cap is a structural bug, not a tuning issue.
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxRounds rounds; " +
         "refusing to return partially-propagated cluster labels")
     lastCcRounds = rounds
-    labels
+    // The graph may have fully collapsed at the seed (no contracted
+    // edges, no loop rounds): the seed labels are final.
+    if (labels == null) return base
+    // Pointer-chain RESOLUTION: the hop only lowers labels of vertices
+    // with a surviving contracted edge, so when the relation empties a
+    // vertex's label can still point at a vertex whose OWN label moved
+    // in the final rounds (e.g. 313→14 while 14→5 — caught against the
+    // oracle at sf0.01). Close the chains by repeated label(label)
+    // substitution over the small rep table: each pass halves the
+    // remaining chain depth, so this terminates in O(log chain) cheap
+    // passes (measured: one pass at every tested scale). The change
+    // check runs BEFORE the checkpoint, so the final confirming pass
+    // materializes nothing.
+    var resolved = false
+    var resRounds = 0
+    while (!resolved && resRounds < 64) {
+      val j = labels.join(
+          labels.select(col("doc_id").as("cluster"), col("cluster").as("_cc2")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"), col("cluster"),
+          coalesce(col("_cc2"), col("cluster")).as("_next"))
+      resolved = j.filter(col("_next") =!= col("cluster")).isEmpty
+      if (!resolved)
+        labels = materialize(j.select(col("doc_id"),
+          col("_next").as("cluster")))
+      resRounds += 1
+    }
+    if (!resolved) throw new IllegalStateException(
+      "connected-components pointer resolution did not close within 64 " +
+        "passes; refusing to return partially-resolved cluster labels")
+    // Resolve every doc through its (converged) rep label: one join of
+    // the N-row seed table against the tiny rep-label table — reps not
+    // in the table (fully star-collapsed components) keep their seed
+    // label, which is already the component minimum.
+    base.join(labels.select(col("doc_id").as("cluster"),
+        col("cluster").as("_f")), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("_f"), col("cluster")).as("cluster"))
   }
 
   /** Round count of the most recent [[connectedComponents]] run —
@@ -616,21 +689,33 @@ object DedupQueries {
         abs(col("size_a") - col("size_b")) <=
           greatest(col("size_a"), col("size_b")) * 0.15)
       .drop("bucket")
-    // token-count-vector cosine via word explode on the candidate pairs
-    val counts = c.select(col("doc_id"),
+    // token-count-vector cosine via per-doc COUNT MAPS (round-7, guide
+    // §2.3/§3.3 — shuffle doc-keyed summaries, not exploded words): the
+    // old plan joined the exploded (doc_id, w, n) relation per pair on
+    // (id_b, w), shuffling |pairs|·|words per doc| rows and paying an
+    // extra per-pair grouping — on a hot day of k same-sized mirrored
+    // copies that is k²·|words| rows through one exchange. Each doc now
+    // carries ONE word→count map + its precomputed squared norm; a pair
+    // costs two doc-keyed map joins and a scan-local map_zip_with dot
+    // (O(|a|+|b|) per pair, no shuffle, no aggregation). Same dot — the
+    // sum runs over the shared words either way — and a candidate pair
+    // with no shared word gets dot 0 ⇒ cos 0 (old plan: no dots row),
+    // dropped by the same ≥ 0.99 filter.
+    val docVecs = c.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-    val norms = counts.groupBy("doc_id")
-      .agg(sum(col("n") * col("n")).as("sq"))
-    val dots = candidates.select("id_a", "id_b")
-      .join(counts.select(col("doc_id").as("id_a"), col("w"),
-        col("n").as("na")), "id_a")
-      .join(counts.select(col("doc_id").as("id_b"), col("w"),
-        col("n").as("nb")), Seq("id_b", "w"))
-      .groupBy("id_a", "id_b").agg(sum(col("na") * col("nb")).as("dot"))
-    val scored = candidates.join(dots, Seq("id_a", "id_b"))
-      .join(norms.select(col("doc_id").as("id_a"), col("sq").as("sqa")), "id_a")
-      .join(norms.select(col("doc_id").as("id_b"), col("sq").as("sqb")), "id_b")
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("n"))))
+          .as("wc"),
+        sum(col("n") * col("n")).as("sq"))
+    val scored = candidates
+      .join(docVecs.select(col("doc_id").as("id_a"), col("wc").as("wca"),
+        col("sq").as("sqa")), "id_a")
+      .join(docVecs.select(col("doc_id").as("id_b"), col("wc").as("wcb"),
+        col("sq").as("sqb")), "id_b")
+      .withColumn("dot", aggregate(
+        map_values(map_zip_with(col("wca"), col("wcb"), (_, x, y) => x * y)),
+        lit(0L), (acc, v) => acc + coalesce(v, lit(0L))))
       .withColumn("cos", round(col("dot") /
         (sqrt(col("sqa").cast("double")) * sqrt(col("sqb").cast("double"))), 6))
       .filter(col("cos") >= 0.99)

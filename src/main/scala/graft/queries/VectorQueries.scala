@@ -67,7 +67,7 @@ object VectorQueries {
     * over Q·N rows bounded by Q≈N/100.
     */
   private def topk(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    val e = parallel(embeddings(s, dir)).withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
@@ -139,7 +139,7 @@ object VectorQueries {
     * 1,000-identical-embedding bucket.
     */
   private def lsh(s: SparkSession, dir: String): DataFrame =
-    lshFrom(embeddings(s, dir))._2
+    lshFrom(parallel(embeddings(s, dir)))._2
 
   /** All probe buckets of `b` within Hamming radius `radius` (0 → just
     * b; 1 → b plus the 12 single-bit flips). Multi-probe is the
@@ -232,7 +232,7 @@ object VectorQueries {
     * TakeOrderedAndProject head; never a pair enumeration.
     */
   private def lshBucketSizes(s: SparkSession, dir: String): DataFrame =
-    dupCorpus(embeddings(s, dir)).groupBy(col("label"), col("embedding"))
+    dupCorpus(parallel(embeddings(s, dir))).groupBy(col("label"), col("embedding"))
       .agg(count(lit(1)).as("m"))
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .groupBy("label", "bucket")
@@ -264,7 +264,7 @@ object VectorQueries {
     * collapse is row-identical, spec-proven for the shared core).
     */
   private def lshMultiprobe(s: SparkSession, dir: String): DataFrame =
-    lshFrom(embeddings(s, dir), radius = 1)._2
+    lshFrom(parallel(embeddings(s, dir)), radius = 1)._2
 
   private val lshMultiprobeSql = {
     val bucket = bucketSql
@@ -293,7 +293,7 @@ object VectorQueries {
 
   /** q_vector_norms — per-label embedding stats (norm distribution). */
   private def norms(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
+    parallel(embeddings(s, dir))
       .withColumn("nrm", norm(col("embedding")))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
@@ -328,7 +328,7 @@ object VectorQueries {
     * edge set, recall measured and reported.
     */
   private def nearDup(s: SparkSession, dir: String): DataFrame =
-    nearDupFrom(dupCorpus(embeddings(s, dir)))
+    nearDupFrom(dupCorpus(parallel(embeddings(s, dir))))
 
   /** Core of q_embedding_neardup over an explicit corpus
     * (VectorDupScaleSpec feeds synthetic hot-bucket corpora).
@@ -468,7 +468,7 @@ object VectorQueries {
     */
   private[graft] def ivfWith(s: SparkSession, dir: String, nprobe: Int,
                              iters: Int = ivfIters): DataFrame = {
-    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    val e = parallel(embeddings(s, dir)).withColumn("nrm", norm(col("embedding")))
     // Lloyd TRAINS on a deterministic hash sample (VERDICT r05 item 5:
     // the q_sample_stratified gate — first two md5 hex chars < 'c0' is
     // a reproducible 75% rate at this SF; a 10^9-vector deployment

@@ -49,6 +49,21 @@ class DedupScaleSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("connected components close pointer chains left by the final " +
+      "contraction rounds (round-7 regression: an 8-chain mislabeled " +
+      "its tail without the post-loop resolution pass)") {
+    import spark.implicits._
+    // long chains converge the contracted-edge check while some member
+    // labels still point at a rep whose own label moved in the last
+    // round — the resolution loop must follow those chains to the root
+    val edges = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val verts = (1L to 16L).toDF("doc_id")
+    val got = DedupQueries.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.SparkEntry.releaseCaches(blocking = true)
+    assert(got === (1L to 16L).map(_ -> 1L).toMap)
+  }
+
   test("connected components over an empty graph is an empty label table") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
