@@ -95,20 +95,6 @@ object QueryCaches {
   */
 object Tables {
 
-  /** Parallelism guard for heavy per-row pipelines (guide §2.5/§6): a
-    * single small parquet file scans as ONE task, which serializes all
-    * downstream scan-local work (shingling, digests, cosines) onto one
-    * core no matter how many the session has. When — and only when —
-    * the scan yields fewer partitions than the session's default
-    * parallelism, redistribute the rows once. At production scale the
-    * input is many splits and this is the identity; the check costs one
-    * physical planning of the frame, no job.
-    */
-  def parallel(df: DataFrame): DataFrame = {
-    val dp = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
-  }
-
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame =

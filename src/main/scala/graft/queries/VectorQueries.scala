@@ -67,7 +67,7 @@ object VectorQueries {
     * over Q·N rows bounded by Q≈N/100.
     */
   private def topk(s: SparkSession, dir: String): DataFrame = {
-    val e = parallel(embeddings(s, dir)).withColumn("nrm", norm(col("embedding")))
+    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
@@ -139,7 +139,7 @@ object VectorQueries {
     * 1,000-identical-embedding bucket.
     */
   private def lsh(s: SparkSession, dir: String): DataFrame =
-    lshFrom(parallel(embeddings(s, dir)))._2
+    lshFrom(embeddings(s, dir))._2
 
   /** All probe buckets of `b` within Hamming radius `radius` (0 → just
     * b; 1 → b plus the 12 single-bit flips). Multi-probe is the
@@ -232,7 +232,7 @@ object VectorQueries {
     * TakeOrderedAndProject head; never a pair enumeration.
     */
   private def lshBucketSizes(s: SparkSession, dir: String): DataFrame =
-    dupCorpus(parallel(embeddings(s, dir))).groupBy(col("label"), col("embedding"))
+    dupCorpus(embeddings(s, dir)).groupBy(col("label"), col("embedding"))
       .agg(count(lit(1)).as("m"))
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .groupBy("label", "bucket")
@@ -264,7 +264,7 @@ object VectorQueries {
     * collapse is row-identical, spec-proven for the shared core).
     */
   private def lshMultiprobe(s: SparkSession, dir: String): DataFrame =
-    lshFrom(parallel(embeddings(s, dir)), radius = 1)._2
+    lshFrom(embeddings(s, dir), radius = 1)._2
 
   private val lshMultiprobeSql = {
     val bucket = bucketSql
@@ -293,7 +293,7 @@ object VectorQueries {
 
   /** q_vector_norms — per-label embedding stats (norm distribution). */
   private def norms(s: SparkSession, dir: String): DataFrame =
-    parallel(embeddings(s, dir))
+    embeddings(s, dir)
       .withColumn("nrm", norm(col("embedding")))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
@@ -328,7 +328,7 @@ object VectorQueries {
     * edge set, recall measured and reported.
     */
   private def nearDup(s: SparkSession, dir: String): DataFrame =
-    nearDupFrom(dupCorpus(parallel(embeddings(s, dir))))
+    nearDupFrom(dupCorpus(embeddings(s, dir)))
 
   /** Core of q_embedding_neardup over an explicit corpus
     * (VectorDupScaleSpec feeds synthetic hot-bucket corpora).
@@ -455,10 +455,36 @@ object VectorQueries {
     * Takes PRE-COMPUTED norms (nv for the vector, ncv for the centroid)
     * so the N×K assignment doesn't re-fold norm(v) once per centroid.
     */
-  private def centScore(v: Column, cv: Column, nv: Column,
-                        ncv: Column): Column =
-    round(dot(cv, v) / (ncv * nv) * 1e6, 0).cast("bigint") * 1000 -
-      col("cent_id")
+  private def centScore(v: Column, cv: Column, nv: Column, ncv: Column,
+                        centId: Column): Column =
+    round(dot(cv, v) / (ncv * nv) * 1e6, 0).cast("bigint") * 1000 - centId
+
+  /** The centroid table collapsed to ONE row holding the centroid array
+    * (cent_id, cv, cnrm structs): K is tiny (64), so shipping it as a
+    * single broadcast row lets the N×K argmax run as a SCAN-LOCAL array
+    * fold — no groupBy exchange of N rows, no join back to re-attach
+    * the embedding (round-7, guide §2.4). collect_list order is
+    * nondeterministic, but every consumer below is order-independent:
+    * scores embed `- cent_id`, so the argmax winner and the sorted
+    * probe ranking are unique regardless of array order.
+    */
+  private def centArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("cv"), col("cnrm")))
+      .as("cs"))
+
+  /** Scan-local cell assignment: argmax over the broadcast centroid
+    * array via array_max of (score, cent_id) structs — scores are
+    * distinct (the −cent_id tie-break), so the max is unique and equals
+    * the old max_by(cent_id, score) aggregation row-for-row.
+    */
+  private def withCell(side: DataFrame, cents: DataFrame): DataFrame =
+    side.crossJoin(broadcast(centArray(cents)))
+      .withColumn("cell", array_max(transform(col("cs"), c =>
+        struct(centScore(col("embedding"), c.getField("cv"), col("nrm"),
+          c.getField("cnrm"), c.getField("cent_id")).as("s"),
+          c.getField("cent_id").as("cid"))))
+        .getField("cid"))
+      .drop("cs")
 
   private def ivf(s: SparkSession, dir: String): DataFrame =
     ivfWith(s, dir, ivfNprobe)
@@ -468,7 +494,7 @@ object VectorQueries {
     */
   private[graft] def ivfWith(s: SparkSession, dir: String, nprobe: Int,
                              iters: Int = ivfIters): DataFrame = {
-    val e = parallel(embeddings(s, dir)).withColumn("nrm", norm(col("embedding")))
+    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     // Lloyd TRAINS on a deterministic hash sample (VERDICT r05 item 5:
     // the q_sample_stratified gate — first two md5 hex chars < 'c0' is
     // a reproducible 75% rate at this SF; a 10^9-vector deployment
@@ -476,14 +502,15 @@ object VectorQueries {
     // the full corpus is still assigned exactly once below)
     val train = e.filter(
       substring(md5(col("vec_id").cast("string")), 1, 2) < "c0")
-    // a vector's cell = argmax aggregation over broadcast centroids
-    def assignCells(side: DataFrame, cents: DataFrame): DataFrame = side
-      .crossJoin(broadcast(cents))
-      .withColumn("score", centScore(col("embedding"), col("cv"),
-        col("nrm"), col("cnrm")))
-      .groupBy("vec_id").agg(max_by(col("cent_id"), col("score")).as("cell"))
+    // a vector's cell = scan-local argmax over the broadcast centroid
+    // array ([[withCell]], round-7): the old crossJoin + max_by groupBy
+    // shuffled N assignment rows and then JOINED them back to the
+    // embedding table — two N-row exchanges per pass that the array
+    // fold eliminates outright (the winner is identical: same scores,
+    // unique by the −cent_id tie-break)
     // integer-exact per-cell mean of the assigned TRAINING vectors
-    def meanCents(cell: DataFrame): DataFrame = train.join(cell, "vec_id")
+    // (input rows already carry their cell — no join)
+    def meanCents(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(transform(col("embedding"),
         x => round(x.cast("double") * 1e6, 0).cast("bigint")))
         .as(Seq("pos", "c")))
@@ -499,21 +526,25 @@ object VectorQueries {
     var cents = e.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
         col("nrm").as("cnrm"))
-    for (_ <- 1 to iters) cents = meanCents(assignCells(train, cents))
+    for (_ <- 1 to iters) cents = meanCents(withCell(train, cents))
     // --- assign: final cells for the FULL corpus ----------------------
-    val assigned = assignCells(e, cents).join(e, "vec_id")
-    // --- probe: each query ranks the K centroids, keeps nprobe cells --
+    val assigned = withCell(e, cents)
+    // --- probe: each query ranks the K centroids, keeps nprobe cells —
+    //     scan-local top-nprobe over the same broadcast centroid array
+    //     (array_sort on (score, cent_id) structs, scores unique, so
+    //     the slice equals the old row_number-over-score-desc window
+    //     without the Q×K exchange) ---------------------------------
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("score", centScore(col("qv"), col("cv"),
-        col("qnrm"), col("cnrm")))
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qnrm"),
-        col("cent_id").as("cell"))
+    val probes = q.crossJoin(broadcast(centArray(cents)))
+      .withColumn("cell", explode(transform(
+        slice(reverse(array_sort(transform(col("cs"), c =>
+          struct(centScore(col("qv"), c.getField("cv"), col("qnrm"),
+            c.getField("cnrm"), c.getField("cent_id")).as("s"),
+            c.getField("cent_id").as("cid"))))), 1, nprobe),
+        x => x.getField("cid"))))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
     // --- search: only the probed cells ---------------------------------
     val pairs = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
