@@ -51,8 +51,14 @@ object TpchQueries {
     val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, dir)
     val l = lineitem(s, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // round-7 (guide §3): apply the selective dimension FIRST — the
+    // broadcast customer filter shrinks orders ~5x before the big
+    // lineitem join instead of after it, so the surviving orders side
+    // is small enough for AQE to broadcast and lineitem reaches its
+    // partial aggregation without shuffling the dropped rows
+    val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"))
+    l.join(oc, l("l_orderkey") === oc("o_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
