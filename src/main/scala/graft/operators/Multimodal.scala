@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caches: every encode/decode
+  // materializes (and deletes) a temp file even for a fully in-memory
+  // byte-array payload. For the thousands of tiny images this engine
+  // pushes through javax.imageio that is pure filesystem churn, and it
+  // made the 32-way parallel JPEG pass bimodal (0.5–3.4 s run-to-run,
+  // round-7 measurement). Memory-cached streams are strictly better
+  // here; the object initializer runs wherever the codec closures run,
+  // so executors get the setting too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media_type: String,
                             payload: Array[Byte])
   final case class DecodedRow(doc_id: Long, media_type: String,

@@ -69,25 +69,6 @@ object DedupQueries {
     c.withColumn("_grams", if (distinct) array_distinct(raw) else raw)
   }
 
-  /** Word 3-gram shingles, exploded: (doc_id, shingle). Pure map-side
-    * array arithmetic (split → index transform → explode) — NO per-doc
-    * window: shingling must stay scan-local because every dedup operator
-    * evaluates this subtree, often more than once per plan.
-    */
-  private def shingles(c: DataFrame): DataFrame =
-    withGrams(c, distinct = false)
-      .select(col("doc_id"), explode(col("_grams")).as("shingle"))
-
-  /** Distinct shingles per doc with the doc's set size carried inline:
-    * `(doc_id, n, shingle)`. array_distinct runs map-side, so there is
-    * no per-doc shuffle anywhere in the shingling, and downstream
-    * consumers never need a separate sizes join.
-    */
-  private def shingleRows(c: DataFrame): DataFrame =
-    withGrams(c, distinct = true)
-      .select(col("doc_id"), size(col("_grams")).cast("long").as("n"),
-        explode(col("_grams")).as("shingle"))
-
   private val shinglesSql =
     """SELECT doc_id,
       |  array_to_string(words[i:i+2], ' ') AS shingle
@@ -552,8 +533,24 @@ object DedupQueries {
     // survivors query (which re-enters here) shares the same cache entry.
     // Both persists are QueryCaches-tracked: the session owner releases
     // them via SparkEntry.releaseCaches once results are consumed.
-    val sh = QueryCaches.track(shingleRows(corpus(s, dir))
+    // ONE persisted relation now carries the doc-keyed DISTINCT gram
+    // ARRAYS (round-7): the round-6 plan cached the exploded rows and
+    // then re-ran the whole corpus gram scan TWICE MORE for the verify
+    // step's array sides — the array relation is strictly smaller than
+    // its own explosion, every consumer (prefix ranking via explode,
+    // both verify sides) derives from it, and the corpus gram scan runs
+    // exactly once per driver pass. MEMORY_AND_DISK so it spills
+    // instead of OOMing at corpus scale; CacheManager dedups by
+    // canonicalized plan, so survivors() (which re-enters here) shares
+    // the same entry. Both persists are QueryCaches-tracked: the
+    // session owner releases them via SparkEntry.releaseCaches.
+    val docGrams = QueryCaches.track(withGrams(corpus(s, dir),
+        distinct = true)
+      .select(col("doc_id"), size(col("_grams")).cast("long").as("n"),
+        col("_grams").as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = docGrams.select(col("doc_id"), col("n"),
+      explode(col("grams")).as("shingle"))
     // document frequency as ONE window pass over the shingle partition
     // (round-7, guide §2.4): the agg + join-back form read the cached
     // relation twice and paid two exchanges on the shingle key; the
@@ -602,9 +599,6 @@ object DedupQueries {
     // scale these stay ordinary shuffle joins (AQE broadcasts when the
     // candidate set is small); identical `common` counts — both sides
     // are distinct sets.
-    val docGrams = withGrams(corpus(s, dir), distinct = true)
-      .select(col("doc_id"), size(col("_grams")).cast("long").as("n"),
-        col("_grams").as("grams"))
     val common = candidates
       .join(docGrams.select(col("doc_id").as("doc_a"), col("n").as("na"),
         col("grams").as("ga")), "doc_a")
@@ -723,13 +717,34 @@ object DedupQueries {
     // sum runs over the shared words either way — and a candidate pair
     // with no shared word gets dot 0 ⇒ cos 0 (old plan: no dots row),
     // dropped by the same ≥ 0.99 filter.
-    val docVecs = c.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("w"), col("n"))))
-          .as("wc"),
-        sum(col("n") * col("n")).as("sq"))
+    // the map itself is built SCAN-LOCALLY by run-length-encoding the
+    // sorted word array (run starts = positions whose word differs from
+    // the predecessor; counts = gaps between consecutive starts): the
+    // explode → groupBy(doc_id, w) → groupBy(doc_id) formulation paid
+    // two exchanges over every word occurrence for the same counts.
+    // Every intermediate array binds as a REAL COLUMN in its own
+    // projection before any lambda references it: a subtree referenced
+    // from inside a higher-order function is copied, not shared, and
+    // re-evaluates once per ELEMENT (the first cut of this expression
+    // recomputed array_sort(split(text)) per element — O(n² log n) per
+    // row, a measured hang at sf0.1).
+    val docVecs = c
+      .withColumn("_ws", array_sort(split(col("text"), " ")))
+      .withColumn("_starts", filter(
+        sequence(lit(0), size(col("_ws")) - 1), i =>
+          i === 0 ||
+            element_at(col("_ws"), i + 1) =!= element_at(col("_ws"), i)))
+      .withColumn("_se", concat(col("_starts"), array(size(col("_ws")))))
+      .withColumn("wc", map_from_entries(transform(
+        sequence(lit(0), size(col("_starts")) - 1), j =>
+          struct(
+            element_at(col("_ws"), element_at(col("_starts"), j + 1) + 1)
+              .as("key"),
+            (element_at(col("_se"), j + 2) -
+              element_at(col("_starts"), j + 1)).cast("long").as("value")))))
+      .withColumn("sq", aggregate(map_values(col("wc")), lit(0L),
+        (acc, v) => acc + v * v))
+      .select(col("doc_id"), col("wc"), col("sq"))
     val scored = candidates
       .join(docVecs.select(col("doc_id").as("id_a"), col("wc").as("wca"),
         col("sq").as("sqa")), "id_a")
