@@ -309,15 +309,17 @@ object DedupQueries {
     var resolved = false
     var resRounds = 0
     while (!resolved && resRounds < 64) {
-      val j = labels.join(
+      // one materialization serves both the fixpoint check and the next
+      // label table (both are cheap scans of the checkpointed rows) —
+      // running the check as its own join execution doubled the passes'
+      // join work
+      val j = materialize(labels.join(
           labels.select(col("doc_id").as("cluster"), col("cluster").as("_cc2")),
           Seq("cluster"), "left")
         .select(col("doc_id"), col("cluster"),
-          coalesce(col("_cc2"), col("cluster")).as("_next"))
+          coalesce(col("_cc2"), col("cluster")).as("_next")))
       resolved = j.filter(col("_next") =!= col("cluster")).isEmpty
-      if (!resolved)
-        labels = materialize(j.select(col("doc_id"),
-          col("_next").as("cluster")))
+      labels = j.select(col("doc_id"), col("_next").as("cluster"))
       resRounds += 1
     }
     if (!resolved) throw new IllegalStateException(
