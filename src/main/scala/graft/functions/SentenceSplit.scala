@@ -41,8 +41,16 @@ object SentenceSplit {
     "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
     "Oct", "Nov", "Dec")
 
-  /** Protected-period sentinel (U+0001, absent from the corpus):
-    * restored to '.' after the split.
+  /** Protected-period sentinel (U+0001): restored to '.' after the
+    * split. PRECONDITION (ADVICE r06): input text must not contain
+    * U+0001 — a document that did would have the byte silently
+    * rewritten to '.' in every sentence. This is a corpus-ingestion
+    * contract: the reference's cleaning chain (P10 clean_non_utf8 /
+    * cleanText, mirrored in TextClean) strips control characters
+    * before any sentence-level operator runs, and both engine + oracle
+    * mirrors generate from the same rule list so they cannot diverge
+    * on it. Not stripped here: the DuckDB mirror is frozen oracle SQL,
+    * and a one-sided strip would be a latent asymmetry.
     */
   private val S = "\u0001"
 

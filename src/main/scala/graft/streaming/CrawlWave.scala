@@ -561,7 +561,13 @@ final class CrawlEngine(val spark: SparkSession, val root: String,
     */
   def compactHtmlSidecar(): Long = {
     val live = articlesT.read(articleBaseSchema).select("url")
-    val kept = htmlT.read(htmlSchema).dropDuplicates("url")
+    // deterministic survivor per url (ADVICE r06): dropDuplicates keeps
+    // an arbitrary row if a crash-retry ever left two payloads for one
+    // url; max over the binary payload is a total order, so compaction
+    // output is stable run-to-run (normal case: duplicates are
+    // byte-identical and the max IS the payload)
+    val kept = htmlT.read(htmlSchema)
+      .groupBy("url").agg(max("html").as("html"))
       .join(live, Seq("url"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
