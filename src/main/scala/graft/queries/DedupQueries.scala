@@ -646,12 +646,16 @@ object DedupQueries {
     */
   private def survivors(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
+    // the keeper's source rides through the exact-dedup aggregation
+    // (min_by on the same key that picks the keeper — doc_id is unique,
+    // so the pair is deterministic), saving the round-6 plan's third
+    // corpus scan and its doc_id-keyed join-back (round-7, guide §2.4)
     val exactKeep = c.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"))
+      .select("doc_id", "source")
     val nearPairs = jaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
     exactKeep.join(nearPairs, Seq("doc_id"), "left_anti")
-      .join(c, "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_survivors"))
       .orderBy("source")
   }
@@ -932,9 +936,6 @@ object DedupQueries {
       .select((col("doc_id") + 200000).as("doc_id"), col("text"),
         col("source")))
     val labels = ccLabels(s, dir)
-    val keepers = c
-      .groupBy(md5(encode(col("text"), "UTF-8")).as("_h"))
-      .agg(min(col("doc_id")).as("_keeper"))
     val t = col("text")
     val nChars = length(t).cast("bigint")
     val nTokens = size(split(t, " ")).cast("bigint")
@@ -945,10 +946,15 @@ object DedupQueries {
     val qualityKeep = nChars.between(100, 20000) &&
       meanTokLenX100.between(200, 1200) && hits > 0
     val langKeep = hits * 100 >= nTokens * 2
+    // the exact-keeper id per md5 group comes from ONE window pass over
+    // the hash partition (round-7, the minhashEdges pattern): the old
+    // groupBy + join-back paid two exchanges on the hash key and
+    // re-evaluated the corpus-side md5 on both join inputs
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     c.withColumn("_h", md5(encode(col("text"), "UTF-8")))
+      .withColumn("_keeper", min(col("doc_id")).over(wH))
       .withColumn("_lk", when(col("doc_id") >= 200000,
         col("doc_id") - 200000).otherwise(col("doc_id")))
-      .join(keepers, "_h")
       .join(labels.select(col("doc_id").as("_lk"), col("cluster")), "_lk")
       .select(col("doc_id"),
         (col("doc_id") === col("_keeper")).as("is_exact_keeper"),

@@ -247,25 +247,24 @@ object TextQueries {
         .otherwise(lit("")),
       lit(". Story reference code "), col("doc_id").cast("string"),
       lit(" ends here"))
-    // the regex-heavy tokenized relation feeds BOTH the global count
-    // and the join probe side — persist it once (the shingle-relation
-    // precedent; released by SparkEntry.releaseCaches)
-    val lines = QueryCaches.track(
-      documents(s, dir).select(col("doc_id"), aug.as("t"))
-        .select(col("doc_id"),
-          posexplode(graft.functions.SentenceSplit.sentences(col("t")))
-            .as(Seq("pos", "line")))
-        .filter(length(col("line")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dups = lines.groupBy("line").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("line"), lit(true).as("_dup"))
-    lines.join(dups, Seq("line"), "left")
+    // round-7: the corpus-wide line count comes from ONE window pass
+    // over the line partition instead of a count-aggregate joined back
+    // to the (previously persisted) tokenized relation — the regex-heavy
+    // sentence split now runs exactly once with no cache and one fewer
+    // exchange; a line is duplicated iff its partition count > 1, which
+    // is exactly the old `_dup` join hit
+    val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("line"))
+    documents(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.SentenceSplit.sentences(col("t")))
+          .as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+      .withColumn("_c", count(lit(1)).over(wL))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dropped"),
         concat_ws("|", transform(
-          array_sort(collect_list(when(col("_dup").isNull,
+          array_sort(collect_list(when(col("_c") === 1,
             struct(col("pos"), col("line"))).otherwise(null))),
           x => x.getField("line"))).as("kept_text"))
       .orderBy("doc_id")
