@@ -349,15 +349,21 @@ object VectorQueries {
     * (q_cluster_sizes) covers the remaining distinct-but-near pileup.
     */
   private[graft] def nearDupFrom(corpus: DataFrame): DataFrame = {
-    // rep election: one linear agg + one linear join, same shape as
-    // DedupQueries.minhashEdges (no per-group arrays — bounded state)
-    val grp = corpus.groupBy(col("label"), col("embedding"))
-      .agg(min(col("vec_id")).as("rep"))
-    val intra = corpus.join(grp, Seq("label", "embedding"))
-      .filter(col("vec_id") =!= col("rep"))
+    // rep election via ONE window pass over the duplicate-group
+    // partition (round-7, the minhashEdges pattern): the rep rides
+    // every member row, so both the member→rep edges and the rep
+    // relation are filters of the same windowed frame — the round-6
+    // groupBy + join-back paid a second exchange on the (label,
+    // embedding) key for the same rows. Still no per-group arrays —
+    // bounded state.
+    val wG = Window.partitionBy(col("label"), col("embedding"))
+    val withRep = corpus
+      .withColumn("rep", min(col("vec_id")).over(wG))
+    val intra = withRep.filter(col("vec_id") =!= col("rep"))
       .select(col("label"), col("rep").as("id_a"),
         col("vec_id").as("id_b"), lit(1.0).as("cos"))
-    val reps = grp
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+      .select(col("label"), col("embedding"), col("rep"))
       .withColumn("bucket", signBucket(col("embedding"), 12))
       .withColumn("nrm", norm(col("embedding")))
     val a = reps.select(col("rep").as("id_a"),
