@@ -561,7 +561,15 @@ object DedupQueries {
       .partitionBy(col("shingle"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.withColumn("df", count(lit(1)).over(wSh))
+    // persisted (round-7): BOTH sides of the candidate self-join read
+    // this relation, and without the cache each side re-ran the full
+    // two-window chain over the exploded shingles (the committed
+    // before-plan shows two complete Window pairs — the planner does
+    // not reuse the exchange across the join's sides). The prefix
+    // relation is a small fraction of the exploded rows (≈41% of each
+    // doc's shingles, further cut by df ≥ 2).
+    val prefix = QueryCaches.track(sh
+      .withColumn("df", count(lit(1)).over(wSh))
       .withColumn("r", row_number().over(wDoc))
       // prefix length = n - ceil(0.59*n) + 1, ceil in exact integers;
       // df-1 shingles stay in the RANKING (positions must count them)
@@ -570,6 +578,7 @@ object DedupQueries {
       .filter(col("r") <= col("n") - expr("(n*59 + 99) DIV 100") + 1 &&
         col("df") >= 2)
       .select("doc_id", "shingle", "r", "n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // PPJoin-style candidate pruning, all lossless for J ≥ 0.59:
     //  - length filter: t·nb ≤ na (and symmetric);
     //  - positional filter: the FIRST shared prefix shingle w* has no
