@@ -743,7 +743,11 @@ object DedupQueries {
     // re-evaluates once per ELEMENT (the first cut of this expression
     // recomputed array_sort(split(text)) per element — O(n² log n) per
     // row, a measured hang at sf0.1).
-    val docVecs = c
+    // persisted: both sides of the candidate pair join read this
+    // relation, and the per-row work (sort + run-length encode every
+    // document's words) is the heaviest scan in the query — uncached it
+    // runs twice (the before-plan shows 16 parquet scans query-wide)
+    val docVecs = QueryCaches.track(c
       .withColumn("_ws", array_sort(split(col("text"), " ")))
       .withColumn("_starts", filter(
         sequence(lit(0), size(col("_ws")) - 1), i =>
@@ -760,6 +764,7 @@ object DedupQueries {
       .withColumn("sq", aggregate(map_values(col("wc")), lit(0L),
         (acc, v) => acc + v * v))
       .select(col("doc_id"), col("wc"), col("sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scored = candidates
       .join(docVecs.select(col("doc_id").as("id_a"), col("wc").as("wca"),
         col("sq").as("sqa")), "id_a")

@@ -357,8 +357,13 @@ object VectorQueries {
     // embedding) key for the same rows. Still no per-group arrays —
     // bounded state.
     val wG = Window.partitionBy(col("label"), col("embedding"))
-    val withRep = corpus
+    // persisted: THREE consumers read this windowed frame (the intra
+    // edges and both sides of the rep↔rep bucket join), and the planner
+    // re-runs the whole scan+window chain per consumer otherwise (the
+    // round-7 before-plan shows 12 parquet scans for this query)
+    val withRep = QueryCaches.track(corpus
       .withColumn("rep", min(col("vec_id")).over(wG))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val intra = withRep.filter(col("vec_id") =!= col("rep"))
       .select(col("label"), col("rep").as("id_a"),
         col("vec_id").as("id_b"), lit(1.0).as("cos"))
@@ -500,7 +505,13 @@ object VectorQueries {
     */
   private[graft] def ivfWith(s: SparkSession, dir: String, nprobe: Int,
                              iters: Int = ivfIters): DataFrame = {
-    val e = embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    // persisted: the norm-carrying base relation feeds the seeds, the
+    // training sample (per Lloyd pass), the full assignment, and the
+    // query sample — each consumer otherwise re-scans the table and
+    // re-folds every norm
+    val e = QueryCaches.track(embeddings(s, dir)
+      .withColumn("nrm", norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Lloyd TRAINS on a deterministic hash sample (VERDICT r05 item 5:
     // the q_sample_stratified gate — first two md5 hex chars < 'c0' is
     // a reproducible 75% rate at this SF; a 10^9-vector deployment
