@@ -482,7 +482,13 @@ object MiscQueries {
       col("text"),
       length(col("text")).cast("long").as("text_size"),
       split(substring(col("text"), 1, 20), " ").as("keywords"))
-    val withDups = arts.unionByName(arts.filter(col("doc_id") % 6 === 0))
+    // duplicate every 6th article by exploding a multiplicity array
+    // instead of unioning a filtered second copy — the union form ran
+    // the urls⋈documents join twice (round-7; same rows either way)
+    val withDups = arts
+      .withColumn("_m", explode(when(col("doc_id") % 6 === 0,
+        array(lit(0), lit(1))).otherwise(array(lit(0)))))
+      .drop("_m")
     graft.operators.ArticleSinks.csvWritable(
         graft.operators.ArticleSinks.csvRows(withDups))
       .orderBy("doc_id")
